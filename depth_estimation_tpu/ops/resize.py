@@ -1,0 +1,154 @@
+"""Separable image resize as MXU matmuls.
+
+The reference resizes in two places on its hot path:
+
+* MiDaS preprocessing — ``cv2.resize(..., interpolation=cv2.INTER_CUBIC)`` on
+  a float32 image (inside the torch.hub MiDaS transforms selected at
+  depth_midas.py:12-16), and
+* the depth head / output — ``torch.nn.functional.interpolate`` with
+  ``mode="bicubic", align_corners=False`` (depth_midas.py:28-33) and the
+  ``mode="bilinear"`` upsamples inside the MiDaS/DPT fusion blocks.
+
+TPU-first design: interpolation is *linear* in the input, so a fixed
+(in_size → out_size) resize is exactly a pair of small dense matrices applied
+along H and W. We build those matrices on the host at trace time (static
+shapes under jit) and contract them with ``einsum`` — XLA maps both
+contractions straight onto the MXU and fuses neighbours in. This beats a
+gather-based kernel on TPU (gathers are lane-hostile; matmuls are free
+throughput) and is bit-accurate to the convolution definition both cv2 and
+torch implement in their float paths.
+
+Both cv2 ``INTER_CUBIC`` and torch ``bicubic`` use the Keys cubic convolution
+kernel with A = -0.75 and half-pixel source mapping; borders replicate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CUBIC_A = -0.75  # Keys kernel sharpness used by OpenCV and PyTorch
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Keys cubic convolution weights for fractional offsets ``t`` in [0,1).
+
+    Returns the 4 taps (at source offsets -1, 0, +1, +2) per output sample.
+    """
+    A = _CUBIC_A
+    # distances from the sample point to the 4 taps
+    d = np.stack([1.0 + t, t, 1.0 - t, 2.0 - t], axis=-1)
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0,
+            ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A, 0.0),
+        )
+
+    return k(d)
+
+
+def _linear_weights(t: np.ndarray) -> np.ndarray:
+    """Two-tap linear weights for fractional offsets ``t`` (taps at 0, +1)."""
+    return np.stack([1.0 - t, t], axis=-1)
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix_cached(
+    in_size: int, out_size: int, method: str, align_corners: bool
+) -> np.ndarray:
+    if method not in ("cubic", "linear", "nearest"):
+        raise ValueError(f"unknown interpolation method {method!r}")
+
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = 0.0 if out_size == 1 else (in_size - 1) / (out_size - 1)
+        src = dst * scale
+    else:
+        scale = in_size / out_size
+        src = (dst + 0.5) * scale - 0.5
+
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    if method == "nearest":
+        # torch 'nearest' uses floor(dst * in/out)
+        idx = np.clip((dst * (in_size / out_size)).astype(np.int64), 0, in_size - 1)
+        W[np.arange(out_size), idx] = 1.0
+        return W.astype(np.float32)
+
+    base = np.floor(src).astype(np.int64)
+    t = src - base
+    if method == "cubic":
+        taps = _cubic_weights(t)  # (out, 4)
+        offsets = np.arange(-1, 3)
+    else:
+        taps = _linear_weights(t)  # (out, 2)
+        offsets = np.arange(0, 2)
+
+    for j, off in enumerate(offsets):
+        cols = np.clip(base + off, 0, in_size - 1)  # replicate borders
+        np.add.at(W, (np.arange(out_size), cols), taps[:, j])
+    return W.astype(np.float32)
+
+
+def interp_matrix(
+    in_size: int, out_size: int, method: str = "cubic", align_corners: bool = False
+) -> np.ndarray:
+    """Dense (out_size, in_size) interpolation matrix. Host-side, cached."""
+    return _interp_matrix_cached(int(in_size), int(out_size), method, bool(align_corners))
+
+
+def resize2d(
+    img: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str = "cubic",
+    align_corners: bool = False,
+    precision: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Resize the two spatial dims of ``img`` (…, H, W, C) or (H, W).
+
+    Spatial dims are assumed to be the last two (H, W) when ``img.ndim == 2``,
+    otherwise dims -3 and -2 (NHWC / HWC convention).
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    squeeze2d = img.ndim == 2
+    if squeeze2d:
+        img = img[..., None]  # -> (H, W, 1)
+
+    in_h, in_w = img.shape[-3], img.shape[-2]
+    if (in_h, in_w) == (out_h, out_w):
+        return img[..., 0] if squeeze2d else img
+
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    if in_h != out_h:
+        Wh = jnp.asarray(interp_matrix(in_h, out_h, method, align_corners))
+        x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=jax.lax.Precision.HIGHEST)
+    if in_w != out_w:
+        Ww = jnp.asarray(interp_matrix(in_w, out_w, method, align_corners))
+        x = jnp.einsum("ow,...hwc->...hoc", Ww, x, precision=jax.lax.Precision.HIGHEST)
+    x = x.astype(dtype) if jnp.issubdtype(dtype, jnp.floating) else x
+    return x[..., 0] if squeeze2d else x
+
+
+def resize_bicubic(img, out_hw, align_corners: bool = False):
+    """torch ``F.interpolate(mode='bicubic')`` / cv2 ``INTER_CUBIC`` equivalent.
+
+    reference: depth_midas.py:28-33 (align_corners=False upsample of the
+    depth prediction back to the source resolution).
+    """
+    return resize2d(img, out_hw, method="cubic", align_corners=align_corners)
+
+
+def resize_bilinear(img, out_hw, align_corners: bool = True):
+    """torch ``F.interpolate(mode='bilinear')`` equivalent.
+
+    The MiDaS/DPT feature-fusion blocks upsample with align_corners=True;
+    the MiDaS-small output head uses align_corners=False.
+    """
+    return resize2d(img, out_hw, method="linear", align_corners=align_corners)
