@@ -1,0 +1,126 @@
+"""ViT backbone for DPT (vit_large_patch16_384 / vit_base-hybrid), NHWC Flax.
+
+The DPT depth nets the reference loads by name ("DPT_Large"/"DPT_Hybrid",
+depth_midas.py:13) are timm ViTs with activation hooks at 4 depths
+(SURVEY.md N2). This module implements the transformer trunk with:
+
+* patch embedding as a strided conv (16×16/16),
+* learned cls token + position embedding with bilinear grid interpolation
+  for non-384 inputs (DPT ``_resize_pos_embed`` semantics),
+* pre-LN blocks (LN eps 1e-6, qkv-bias attention, GELU MLP),
+* hook outputs returned for the requested block indices (token tensors,
+  pre-final-norm — exactly what DPT's Reassemble stage consumes),
+* attention through the Pallas flash kernel on TPU
+  (ops/pallas/attention.py), XLA fallback elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from depth_estimation_tpu.ops.pallas.attention import multi_head_attention
+from depth_estimation_tpu.ops.resize import resize_bilinear
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        qkv = nn.Dense(3 * C, name="qkv")(x)  # (B, N, 3C)
+        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = multi_head_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, use_pallas=self.use_pallas, name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, name="mlp")(h)
+        return x
+
+
+def resize_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int], orig_grid: int) -> jnp.ndarray:
+    """DPT `_resize_pos_embed`: bilinear-resample the grid part of the
+    position embedding to the actual patch grid; cls entry passes through."""
+    gh, gw = grid_hw
+    cls_pe, grid_pe = pos_embed[:, :1], pos_embed[:, 1:]
+    if (gh, gw) == (orig_grid, orig_grid):
+        return pos_embed
+    c = grid_pe.shape[-1]
+    grid = grid_pe.reshape(1, orig_grid, orig_grid, c)
+    grid = resize_bilinear(grid, (gh, gw), align_corners=False)
+    return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, c)], axis=1)
+
+
+class ViT(nn.Module):
+    """Transformer trunk; returns hooked token tensors (incl. cls)."""
+
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    patch_size: int = 16
+    img_size: int = 384  # pos-embed native grid = img_size // patch_size
+    hooks: Tuple[int, ...] = (5, 11, 17, 23)
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, patches: Optional[jnp.ndarray] = None):
+        """x: (B, H, W, 3) or pre-computed patch features via ``patches``
+        (B, gh, gw, C) for the hybrid backbone."""
+        if patches is None:
+            patches = nn.Conv(
+                self.embed_dim,
+                (self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                padding="VALID",
+                name="patch_embed",
+            )(x)
+        B, gh, gw, C = patches.shape
+        tokens = patches.reshape(B, gh * gw, C)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, (self.img_size // self.patch_size) ** 2 + 1, self.embed_dim),
+        )
+        tokens = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, C)), tokens], axis=1)
+        tokens = tokens + resize_pos_embed(pos_embed, (gh, gw), self.img_size // self.patch_size)
+
+        hooked = {}
+        for i in range(self.depth):
+            tokens = Block(self.embed_dim, self.num_heads, use_pallas=self.use_pallas, name=f"blocks_{i}")(tokens)
+            if i in self.hooks:
+                hooked[i] = tokens
+        return [hooked[i] for i in self.hooks], (gh, gw)

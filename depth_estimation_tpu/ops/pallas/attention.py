@@ -61,7 +61,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "kv_len"))
 def _flash_attention_padded(q, k, v, block_q: int, block_k: int, interpret: bool, kv_len: int):
     bh, n_pad, d = q.shape
     scale = 1.0 / math.sqrt(d)

@@ -159,3 +159,112 @@ def midas_small_expected_keys() -> List[str]:
     for i in (0, 2, 4):
         keys += [f"scratch.output_conv.{i}.weight", f"scratch.output_conv.{i}.bias"]
     return keys
+
+
+# -- DPT (Large / Hybrid) ----------------------------------------------------
+
+def t2f_deconv(w: Array) -> Array:
+    """torch ConvTranspose2d weight (I, O, kH, kW) → flax ConvTranspose kernel
+    (kH, kW, I, O) with spatial flip (empirically validated vs torch)."""
+    w = np.asarray(w)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def _ln(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _dense(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"kernel": t2f_linear(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _gn(sd: StateDict, prefix: str) -> Dict[str, Dict[str, Array]]:
+    return {"gn": {"scale": np.asarray(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}}
+
+
+def convert_dpt(sd: StateDict, cfg=None) -> Dict:
+    """Hub DPTDepthModel state dict → Flax params for models.DPT.
+
+    Hub naming: transformer under ``pretrained.model.*`` (timm ViT), readout/
+    reassemble under ``pretrained.act_postprocess1-4`` (Sequential indices:
+    0=ProjectReadout, 3=1x1 conv, 4=resample), decoder under ``scratch.*``.
+    """
+    if cfg is None:
+        from depth_estimation_tpu.models.dpt import DPT_LARGE
+
+        cfg = DPT_LARGE
+    hybrid = cfg.hybrid
+    depth = cfg.depth
+    vit: Dict = {
+        "cls_token": np.asarray(sd["pretrained.model.cls_token"]),
+        "pos_embed": np.asarray(sd["pretrained.model.pos_embed"]),
+    }
+    if not hybrid:
+        vit["patch_embed"] = _conv(sd, "pretrained.model.patch_embed.proj")
+    for i in range(depth):
+        p = f"pretrained.model.blocks.{i}"
+        vit[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "attn": {"qkv": _dense(sd, f"{p}.attn.qkv"), "proj": _dense(sd, f"{p}.attn.proj")},
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
+        }
+
+    params: Dict = {"vit": vit}
+
+    # readout + reassemble: pyramid positions carrying transformer hooks
+    positions = (2, 3) if hybrid else (0, 1, 2, 3)
+    for pos in positions:
+        app = f"pretrained.act_postprocess{pos + 1}"
+        params[f"readout_{pos}"] = {"project": _dense(sd, f"{app}.0.project.0")}
+        params[f"project_{pos}"] = _conv(sd, f"{app}.3")
+        if pos == 0:
+            params[f"resample_{pos}"] = {
+                "kernel": t2f_deconv(sd[f"{app}.4.weight"]),
+                "bias": np.asarray(sd[f"{app}.4.bias"]),
+            }
+        elif pos == 1:
+            params[f"resample_{pos}"] = {
+                "kernel": t2f_deconv(sd[f"{app}.4.weight"]),
+                "bias": np.asarray(sd[f"{app}.4.bias"]),
+            }
+        elif pos == 3:
+            params[f"resample_{pos}"] = _conv(sd, f"{app}.4")
+
+    if hybrid:
+        bb = "pretrained.model.patch_embed.backbone"
+        stem: Dict = {
+            "stem_conv": {"kernel": t2f_conv(sd[f"{bb}.stem.conv.weight"])},
+            "stem_norm": _gn(sd, f"{bb}.stem.norm"),
+        }
+        for si, nblocks in enumerate((3, 4, 9)):
+            for bi in range(nblocks):
+                bp = f"{bb}.stages.{si}.blocks.{bi}"
+                blk = {
+                    "norm1": _gn(sd, f"{bp}.norm1"),
+                    "conv1": {"kernel": t2f_conv(sd[f"{bp}.conv1.weight"])},
+                    "norm2": _gn(sd, f"{bp}.norm2"),
+                    "conv2": {"kernel": t2f_conv(sd[f"{bp}.conv2.weight"])},
+                    "norm3": _gn(sd, f"{bp}.norm3"),
+                    "conv3": {"kernel": t2f_conv(sd[f"{bp}.conv3.weight"])},
+                }
+                if bi == 0:
+                    blk["downsample"] = {"kernel": t2f_conv(sd[f"{bp}.downsample.conv.weight"])}
+                stem[f"stage{si}_block{bi}"] = blk
+        params["resnet_stem"] = stem
+        params["patch_embed"] = _conv(sd, "pretrained.model.patch_embed.proj")
+
+    for i in (1, 2, 3, 4):
+        params[f"layer{i}_rn"] = _conv(sd, f"scratch.layer{i}_rn", bias=False)
+    for rn_idx in (1, 2, 3, 4):
+        rn = f"refinenet{rn_idx}"
+        units = ("resConfUnit2",) if rn_idx == 4 else ("resConfUnit1", "resConfUnit2")
+        block = {
+            u: {"conv1": _conv(sd, f"scratch.{rn}.{u}.conv1"), "conv2": _conv(sd, f"scratch.{rn}.{u}.conv2")}
+            for u in units
+        }
+        block["out_conv"] = _conv(sd, f"scratch.{rn}.out_conv")
+        params[rn] = block
+    for i in (0, 2, 4):
+        params[f"output_conv_{i}"] = _conv(sd, f"scratch.output_conv.{i}")
+    return params

@@ -1,0 +1,69 @@
+"""Golden tests: Flax DPT vs functional torch oracle (tiny configs on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from depth_estimation_tpu.models.dpt import DPT, DPTConfig
+from depth_estimation_tpu.utils.convert import convert_dpt
+from tests.oracles import dpt_torch as oracle
+
+TINY = DPTConfig(
+    embed_dim=64,
+    depth=4,
+    num_heads=2,
+    hooks=(0, 1, 2, 3),
+    reassemble_channels=(16, 32, 64, 64),
+    features=32,
+    img_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return oracle.make_random_state_dict(TINY, seed=3)
+
+
+@pytest.fixture(scope="module")
+def flax_params(sd):
+    return {"params": convert_dpt({k: v.numpy() for k, v in sd.items()}, TINY)}
+
+
+def test_param_tree_matches_init(sd, flax_params):
+    model = DPT(TINY)
+    ref = jax.jit(model.init)(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(ref["params"])}
+    got_paths = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in jax.tree_util.tree_leaves_with_path(flax_params["params"])}
+    assert ref_paths == got_paths
+
+
+def test_forward_matches_torch_oracle_native_grid(sd, flax_params, rng):
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(DPT(TINY).apply)(flax_params, x))
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), TINY).numpy()
+    assert ours.shape == ref.shape == (1, 64, 64)
+    scale = np.abs(ref).max() + 1e-8
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_forward_matches_with_pos_embed_interpolation(sd, flax_params, rng):
+    """Non-native input grid exercises the DPT _resize_pos_embed path."""
+    x = rng.standard_normal((1, 96, 128, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(DPT(TINY).apply)(flax_params, x))
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), TINY).numpy()
+    assert ours.shape == ref.shape == (1, 96, 128)
+    scale = np.abs(ref).max() + 1e-8
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-5)
+
+
+def test_pallas_attention_matches_xla(rng):
+    from depth_estimation_tpu.ops.pallas.attention import multi_head_attention, _attention_xla
+
+    q = rng.standard_normal((2, 4, 577, 64)).astype(np.float32)
+    k = rng.standard_normal((2, 4, 577, 64)).astype(np.float32)
+    v = rng.standard_normal((2, 4, 577, 64)).astype(np.float32)
+    ref = np.asarray(_attention_xla(q, k, v, 64 ** -0.5))
+    # interpret=True runs the Pallas kernel logic on CPU
+    got = np.asarray(multi_head_attention(q, k, v, use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
