@@ -241,15 +241,16 @@ def convert_dpt(sd: StateDict, cfg=None) -> Dict:
             for bi in range(nblocks):
                 bp = f"{bb}.stages.{si}.blocks.{bi}"
                 blk = {
-                    "norm1": _gn(sd, f"{bp}.norm1"),
                     "conv1": {"kernel": t2f_conv(sd[f"{bp}.conv1.weight"])},
-                    "norm2": _gn(sd, f"{bp}.norm2"),
+                    "norm1": _gn(sd, f"{bp}.norm1"),
                     "conv2": {"kernel": t2f_conv(sd[f"{bp}.conv2.weight"])},
-                    "norm3": _gn(sd, f"{bp}.norm3"),
+                    "norm2": _gn(sd, f"{bp}.norm2"),
                     "conv3": {"kernel": t2f_conv(sd[f"{bp}.conv3.weight"])},
+                    "norm3": _gn(sd, f"{bp}.norm3"),
                 }
                 if bi == 0:
-                    blk["downsample"] = {"kernel": t2f_conv(sd[f"{bp}.downsample.conv.weight"])}
+                    blk["downsample_conv"] = {"kernel": t2f_conv(sd[f"{bp}.downsample.conv.weight"])}
+                    blk["downsample_norm"] = _gn(sd, f"{bp}.downsample.norm")
                 stem[f"stage{si}_block{bi}"] = blk
         params["resnet_stem"] = stem
         params["patch_embed"] = _conv(sd, "pretrained.model.patch_embed.proj")

@@ -43,7 +43,11 @@ def make_random_state_dict(cfg: DPTConfig, seed=0):
     grid = cfg.img_size // 16
     t("pretrained.model.cls_token", 1, 1, C, scale=0.02)
     t("pretrained.model.pos_embed", 1, grid * grid + 1, C, scale=0.02)
-    conv("pretrained.model.patch_embed.proj", C, 3, 16)
+    if cfg.hybrid:
+        conv("pretrained.model.patch_embed.proj", C, 1024, 1)
+        add_hybrid_backbone_keys(sd, seed=seed + 1)
+    else:
+        conv("pretrained.model.patch_embed.proj", C, 3, 16)
     for i in range(cfg.depth):
         p = f"pretrained.model.blocks.{i}"
         ln(p + ".norm1", C)
@@ -53,7 +57,8 @@ def make_random_state_dict(cfg: DPTConfig, seed=0):
         linear(p + ".mlp.fc1", 4 * C, C)
         linear(p + ".mlp.fc2", C, 4 * C)
 
-    for pos in range(4):
+    positions = (2, 3) if cfg.hybrid else (0, 1, 2, 3)
+    for pos in positions:
         app = f"pretrained.act_postprocess{pos + 1}"
         rc = cfg.reassemble_channels[pos]
         linear(app + ".0.project.0", C, 2 * C)
@@ -173,6 +178,129 @@ def forward(sd, x_nchw, cfg: DPTConfig):
             F.conv2d(layers[i], sd[f"scratch.layer{i+1}_rn.weight"], padding=1)
             for i in range(4)
         ]
+        p4 = _ffb(sd, "scratch.refinenet4", rn[3])
+        p3 = _ffb(sd, "scratch.refinenet3", p4, rn[2])
+        p2 = _ffb(sd, "scratch.refinenet2", p3, rn[1])
+        p1 = _ffb(sd, "scratch.refinenet1", p2, rn[0])
+        h = F.conv2d(p1, sd["scratch.output_conv.0.weight"], sd["scratch.output_conv.0.bias"], padding=1)
+        h = F.interpolate(h, scale_factor=2, mode="bilinear", align_corners=True)
+        h = F.conv2d(h, sd["scratch.output_conv.2.weight"], sd["scratch.output_conv.2.bias"], padding=1)
+        h = F.relu(h)
+        h = F.conv2d(h, sd["scratch.output_conv.4.weight"], sd["scratch.output_conv.4.bias"])
+        h = F.relu(h)
+        return h[:, 0]
+
+
+# -- Hybrid (R50+ViT-B) additions --------------------------------------------
+
+def add_hybrid_backbone_keys(sd, seed=1):
+    g = torch.Generator().manual_seed(seed)
+    bb = "pretrained.model.patch_embed.backbone"
+
+    def conv(key, out_c, in_c, k):
+        sd[key + ".weight"] = torch.randn(out_c, in_c, k, k, generator=g) / math.sqrt(in_c * k * k)
+
+    def gn(key, c):
+        sd[key + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[key + ".bias"] = torch.randn(c, generator=g) * 0.05
+
+    conv(bb + ".stem.conv", 64, 3, 7)
+    gn(bb + ".stem.norm", 64)
+    in_c = 64
+    for si, (nblocks, out_c) in enumerate(zip((3, 4, 9), (256, 512, 1024))):
+        for bi in range(nblocks):
+            bp = f"{bb}.stages.{si}.blocks.{bi}"
+            mid = out_c // 4
+            conv(bp + ".conv1", mid, in_c, 1)
+            gn(bp + ".norm1", mid)
+            conv(bp + ".conv2", mid, mid, 3)
+            gn(bp + ".norm2", mid)
+            conv(bp + ".conv3", out_c, mid, 1)
+            gn(bp + ".norm3", out_c)
+            if bi == 0:
+                conv(bp + ".downsample.conv", out_c, in_c, 1)
+                gn(bp + ".downsample.norm", out_c)
+            in_c = out_c
+    return sd
+
+
+def _std_conv_same(x, w, stride=1, eps=1e-6):
+    O = w.shape[0]
+    flat = w.reshape(O, -1)
+    mean = flat.mean(dim=1).reshape(O, 1, 1, 1)
+    var = flat.var(dim=1, unbiased=False).reshape(O, 1, 1, 1)
+    w = (w - mean) * torch.rsqrt(var + eps)
+    ih, iw = x.shape[-2:]
+    kh, kw = w.shape[-2:]
+    ph = max((math.ceil(ih / stride) - 1) * stride + kh - ih, 0)
+    pw = max((math.ceil(iw / stride) - 1) * stride + kw - iw, 0)
+    x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    return F.conv2d(x, w, stride=stride)
+
+
+def _gn_act(x, sd, p, act=True):
+    h = F.group_norm(x, 32, sd[p + ".weight"], sd[p + ".bias"], eps=1e-5)
+    return F.relu(h) if act else h
+
+
+def _resnet_stem(sd, x):
+    bb = "pretrained.model.patch_embed.backbone"
+    x = _std_conv_same(x, sd[bb + ".stem.conv.weight"], stride=2)
+    x = _gn_act(x, sd, bb + ".stem.norm")
+    # TF-SAME maxpool 3x3/2
+    ih, iw = x.shape[-2:]
+    ph = max((math.ceil(ih / 2) - 1) * 2 + 3 - ih, 0)
+    pw = max((math.ceil(iw / 2) - 1) * 2 + 3 - iw, 0)
+    x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2), value=float("-inf"))
+    x = F.max_pool2d(x, 3, stride=2)
+    outs = []
+    for si, nblocks in enumerate((3, 4, 9)):
+        for bi in range(nblocks):
+            bp = f"{bb}.stages.{si}.blocks.{bi}"
+            stride = 2 if (si > 0 and bi == 0) else 1
+            if bi == 0:
+                sc = _std_conv_same(x, sd[bp + ".downsample.conv.weight"], stride=stride)
+                sc = _gn_act(sc, sd, bp + ".downsample.norm", act=False)
+            else:
+                sc = x
+            h = _std_conv_same(x, sd[bp + ".conv1.weight"])
+            h = _gn_act(h, sd, bp + ".norm1")
+            h = _std_conv_same(h, sd[bp + ".conv2.weight"], stride=stride)
+            h = _gn_act(h, sd, bp + ".norm2")
+            h = _std_conv_same(h, sd[bp + ".conv3.weight"])
+            h = _gn_act(h, sd, bp + ".norm3", act=False)
+            x = F.relu(h + sc)
+        outs.append(x)
+    return outs[2], [outs[0], outs[1]]
+
+
+def _vit_hybrid(sd, x, cfg: DPTConfig):
+    stem_out, stage_outs = _resnet_stem(sd, x)
+    patches = F.conv2d(stem_out, sd["pretrained.model.patch_embed.proj.weight"],
+                       sd["pretrained.model.patch_embed.proj.bias"])
+    B, C, gh, gw = patches.shape
+    tokens = patches.flatten(2).transpose(1, 2)
+    cls_tok = sd["pretrained.model.cls_token"].expand(B, -1, -1)
+    tokens = torch.cat([cls_tok, tokens], dim=1)
+    tokens = tokens + _resize_pos_embed(sd["pretrained.model.pos_embed"], gh, gw, cfg.img_size // 16)
+    t_hooks = [h for h in cfg.hooks if h >= 2]
+    hooked = {}
+    for i in range(cfg.depth):
+        p = f"pretrained.model.blocks.{i}"
+        tokens = tokens + _attn(_ln_f(tokens, sd, p + ".norm1"), sd, p + ".attn", cfg.num_heads)
+        tokens = tokens + _mlp(_ln_f(tokens, sd, p + ".norm2"), sd, p + ".mlp")
+        if i in t_hooks:
+            hooked[i] = tokens
+    return stage_outs, [hooked[i] for i in t_hooks], (gh, gw)
+
+
+def forward_hybrid(sd, x_nchw, cfg: DPTConfig):
+    with torch.no_grad():
+        stage_outs, hooked, (gh, gw) = _vit_hybrid(sd, x_nchw, cfg)
+        layers = list(stage_outs)
+        for idx, t in enumerate(hooked):
+            layers.append(_readout_reassemble(sd, t, idx + 2, gh, gw, cfg))
+        rn = [F.conv2d(layers[i], sd[f"scratch.layer{i+1}_rn.weight"], padding=1) for i in range(4)]
         p4 = _ffb(sd, "scratch.refinenet4", rn[3])
         p3 = _ffb(sd, "scratch.refinenet3", p4, rn[2])
         p2 = _ffb(sd, "scratch.refinenet2", p3, rn[1])

@@ -67,3 +67,42 @@ def test_pallas_attention_matches_xla(rng):
     # interpret=True runs the Pallas kernel logic on CPU
     got = np.asarray(multi_head_attention(q, k, v, use_pallas=True, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+TINY_HYBRID = DPTConfig(
+    embed_dim=64,
+    depth=4,
+    num_heads=2,
+    hooks=(0, 1, 2, 3),
+    reassemble_channels=(256, 512, 64, 64),
+    features=32,
+    hybrid=True,
+    img_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def sd_hybrid():
+    return oracle.make_random_state_dict(TINY_HYBRID, seed=5)
+
+
+@pytest.fixture(scope="module")
+def flax_params_hybrid(sd_hybrid):
+    return {"params": convert_dpt({k: v.numpy() for k, v in sd_hybrid.items()}, TINY_HYBRID)}
+
+
+def test_hybrid_param_tree_matches_init(sd_hybrid, flax_params_hybrid):
+    model = DPT(TINY_HYBRID)
+    ref = jax.jit(model.init)(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(ref["params"])}
+    got_paths = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in jax.tree_util.tree_leaves_with_path(flax_params_hybrid["params"])}
+    assert ref_paths == got_paths
+
+
+def test_hybrid_forward_matches_torch_oracle(sd_hybrid, flax_params_hybrid, rng):
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(DPT(TINY_HYBRID).apply)(flax_params_hybrid, x))
+    ref = oracle.forward_hybrid(sd_hybrid, torch.from_numpy(x.transpose(0, 3, 1, 2)), TINY_HYBRID).numpy()
+    assert ours.shape == ref.shape == (1, 64, 64)
+    scale = np.abs(ref).max() + 1e-8
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=1e-4)
