@@ -1,0 +1,236 @@
+"""PersonDetector — reference detectors.py API on the TPU detector stack.
+
+Mirrors ``PersonDetector`` (reference: detectors.py:6-124): landmark index
+tables, ``findIris(img)`` filling ``face.mesh`` / ``face.l_iris`` /
+``face.r_iris``, ``findBody(img) -> (img, head_pts)``, ``visualize(img)``.
+
+Where the reference rebuilds the MediaPipe C++ graph every frame (the
+``with FaceMesh(...)`` per call, detectors.py:48 — flagged in SURVEY.md §3.5
+as a major per-frame cost), this implementation jit-compiles each stage once
+and reuses it: BlazeFace detect → crop → FaceMesh landmarks, and BlazePose
+for the body path. Detection+decode+NMS run as one XLA program per stage.
+
+Weights: random-init by default (deterministic seed) — the full pipeline
+runs end-to-end without MediaPipe; converted TFLite weights can be supplied
+via the ``params`` argument for production accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu.config import (
+    BODY_HEAD,
+    CARD,
+    HEAD,
+    LEFT_EYE,
+    LEFT_IRIS,
+    RIGHT_EYE,
+    RIGHT_IRIS,
+)
+from depth_estimation_tpu.detect.anchors import (
+    BLAZEFACE_FRONT,
+    BLAZEPOSE_DETECTOR,
+    build_anchors,
+    decode_boxes,
+    decode_scores,
+    weighted_nms,
+)
+from depth_estimation_tpu.detect.circle import min_enclosing_circle
+from depth_estimation_tpu.models.blazeface import BlazeFace
+from depth_estimation_tpu.models.blazepose import BlazePose, BlazePoseDetector
+from depth_estimation_tpu.models.facemesh import FaceMesh
+from depth_estimation_tpu.ops.resize import resize2d
+
+
+def _init(model, shape, seed):
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), np.zeros(shape, np.float32))
+
+
+class PersonDetector:
+    """Find a single person's face mesh / iris / body pose.
+
+    :param face: FaceDet state object mutated by findIris (as in the
+        reference, detectors.py:62-64)
+    :param minDetectionCon: detection confidence threshold (detectors.py:12)
+    """
+
+    def __init__(self, face, minDetectionCon: float = 0.2, params: Optional[Dict] = None, seed: int = 0):
+        # face mesh indices (reference: detectors.py:17-26)
+        self.LEFT_EYE = list(LEFT_EYE)
+        self.RIGHT_EYE = list(RIGHT_EYE)
+        self.LEFT_IRIS = list(LEFT_IRIS)
+        self.RIGHT_IRIS = list(RIGHT_IRIS)
+        self.HEAD = list(HEAD)
+        self.BODY_HEAD = list(BODY_HEAD)
+        self.CARD = list(CARD)
+
+        self.minDetectionCon = minDetectionCon
+        self.results = None
+        self.w: Optional[int] = None
+        self.h: Optional[int] = None
+        self.body_mesh = None
+        self.face = face
+
+        params = params or {}
+        self._face_det = BlazeFace()
+        self._face_det_params = params.get("blazeface") or _init(self._face_det, (1, 128, 128, 3), seed)
+        self._mesh = FaceMesh()
+        self._mesh_params = params.get("facemesh") or _init(self._mesh, (1, 192, 192, 3), seed + 1)
+        self._pose_det = BlazePoseDetector()
+        self._pose_det_params = params.get("blazepose_detector") or _init(self._pose_det, (1, 224, 224, 3), seed + 2)
+        self._pose = BlazePose()
+        self._pose_params = params.get("blazepose") or _init(self._pose, (1, 256, 256, 3), seed + 3)
+
+        self._face_anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+        self._pose_anchors = jnp.asarray(build_anchors(BLAZEPOSE_DETECTOR))
+        self._detect_jit = {}
+
+    # -- jitted stages ------------------------------------------------------
+
+    def _detect_fn(self, in_hw: Tuple[int, int], kind: str):
+        key = (kind, in_hw)
+        fn = self._detect_jit.get(key)
+        if fn is not None:
+            return fn
+        if kind == "face":
+            model, anchors, size, thresh = self._face_det, self._face_anchors, 128, self.minDetectionCon
+        else:
+            model, anchors, size, thresh = self._pose_det, self._pose_anchors, 224, 0.5
+
+        @jax.jit
+        def fn(params, img_u8):
+            x = img_u8.astype(jnp.float32) / 127.5 - 1.0
+            x = resize2d(x, (size, size), method="linear", align_corners=False)
+            raw_boxes, raw_scores = model.apply(params, x[None])
+            boxes = decode_boxes(raw_boxes[0], anchors, float(size))
+            scores = decode_scores(raw_scores[0])
+            return weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=thresh)
+
+        self._detect_jit[key] = fn
+        return fn
+
+    @functools.cached_property
+    def _mesh_fn(self):
+        model = self._mesh
+
+        @jax.jit
+        def fn(params, crop_u8):
+            x = crop_u8.astype(jnp.float32) / 255.0
+            x = resize2d(x, (192, 192), method="linear", align_corners=False)
+            lm, score = model.apply(params, x[None])
+            return lm[0], score[0]
+
+        return fn
+
+    @functools.cached_property
+    def _pose_fn(self):
+        model = self._pose
+
+        @jax.jit
+        def fn(params, crop_u8):
+            x = crop_u8.astype(jnp.float32) / 255.0
+            x = resize2d(x, (256, 256), method="linear", align_corners=False)
+            lm, score = model.apply(params, x[None])
+            return lm[0], score[0]
+
+        return fn
+
+    # -- helpers ------------------------------------------------------------
+
+    def _best_face_box(self, img) -> Optional[Tuple[int, int, int, int]]:
+        """Run face detection; return pixel (x0, y0, x1, y1) with margin."""
+        h, w = img.shape[:2]
+        fn = self._detect_fn((h, w), "face")
+        boxes, scores, valid = fn(self._face_det_params, img)
+        scores = np.asarray(scores)
+        if not bool(np.asarray(valid)[0]):
+            return None
+        ymin, xmin, ymax, xmax = np.asarray(boxes)[0, :4]
+        # margin like the MediaPipe face-crop (25%)
+        bw, bh = xmax - xmin, ymax - ymin
+        x0 = int(np.clip((xmin - 0.25 * bw) * w, 0, w - 2))
+        x1 = int(np.clip((xmax + 0.25 * bw) * w, x0 + 1, w))
+        y0 = int(np.clip((ymin - 0.25 * bh) * h, 0, h - 2))
+        y1 = int(np.clip((ymax + 0.25 * bh) * h, y0 + 1, h))
+        return x0, y0, x1, y1
+
+    # -- public API (reference-compatible) ----------------------------------
+
+    def findIris(self, img: np.ndarray) -> None:
+        """Detect the irises of a single person (reference: detectors.py:42-64).
+
+        On success writes ``face.mesh`` (478×2 int pixel coords) and the two
+        iris circles; on miss leaves ``face.mesh`` untouched (the stream
+        resets it to None per frame, midas_mediapipe.py:51).
+        """
+        self.h, self.w = img.shape[:2]
+        box = self._best_face_box(img)
+        if box is None:
+            self.results = None
+            return
+        x0, y0, x1, y1 = box
+        crop = np.ascontiguousarray(img[y0:y1, x0:x1, ::-1])  # BGR→RGB
+        lm, score = self._mesh_fn(self._mesh_params, crop)
+        lm = np.asarray(lm)
+        self.results = {"landmarks": lm, "score": float(score)}
+        sx = (x1 - x0) / 192.0
+        sy = (y1 - y0) / 192.0
+        mesh = np.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1).astype(int)
+        self.face.mesh = mesh
+        self.face.l_iris["center"], self.face.l_iris["radius"] = min_enclosing_circle(mesh[self.LEFT_IRIS])
+        self.face.r_iris["center"], self.face.r_iris["radius"] = min_enclosing_circle(mesh[self.RIGHT_IRIS])
+
+    def findBody(self, img: np.ndarray):
+        """Detect body pose; returns (img, head_pts) with head_pts = ear
+        landmarks 7, 8 in pixels (reference: detectors.py:67-106)."""
+        h, w = img.shape[:2]
+        self.h, self.w = self.h or h, self.w or w
+        lm, score = self._pose_fn(self._pose_params, np.ascontiguousarray(img[..., ::-1]))
+        lm = np.asarray(lm)
+        # landmark x/y are in 256-crop units; map to full frame
+        xs = lm[:, 0] * (w / 256.0)
+        ys = lm[:, 1] * (h / 256.0)
+        head_pts = []
+        for idx in self.BODY_HEAD:
+            center = np.array([int(xs[idx]), int(ys[idx])])
+            head_pts.append(center)
+            self._draw_point(img, center, str(idx))
+        self.results = {"landmarks": lm, "score": float(score)}
+        return img, head_pts
+
+    def visualize(self, img: np.ndarray) -> None:
+        """Draw eye polylines, iris circles, head lines and the calibration
+        card dots (reference: detectors.py:108-124)."""
+        try:
+            import cv2
+        except ImportError:
+            self.frame = img
+            return
+        mesh = self.face.mesh
+        cv2.polylines(img, [mesh[self.LEFT_EYE]], True, (0, 255, 0), 1, cv2.LINE_AA)
+        cv2.polylines(img, [mesh[self.RIGHT_EYE]], True, (0, 255, 0), 1, cv2.LINE_AA)
+        center_left = np.array(self.face.l_iris["center"], dtype=np.int32)
+        center_right = np.array(self.face.r_iris["center"], dtype=np.int32)
+        cv2.circle(img, center_left, int(self.face.l_iris["radius"]), (255, 0, 255), 2, cv2.LINE_AA)
+        cv2.circle(img, center_right, int(self.face.r_iris["radius"]), (255, 0, 255), 2, cv2.LINE_AA)
+        cv2.line(img, mesh[self.HEAD[0]], mesh[self.HEAD[1]], (0, 255, 0), 1, cv2.LINE_AA)
+        cv2.line(img, mesh[self.HEAD[2]], mesh[self.HEAD[3]], (0, 255, 0), 1, cv2.LINE_AA)
+        cv2.circle(img, (505, 504), 1, (255, 0, 255), 2, cv2.LINE_AA)
+        cv2.circle(img, (675, 501), 1, (255, 0, 255), 2, cv2.LINE_AA)
+        self.frame = img
+
+    def _draw_point(self, img, center, label):
+        try:
+            import cv2
+
+            cv2.circle(img, tuple(int(v) for v in center), 2, (255, 0, 255), 2, cv2.LINE_AA)
+            cv2.putText(img, label, (int(center[0]), int(center[1]) - 20),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1, cv2.LINE_AA)
+        except ImportError:
+            pass

@@ -1,0 +1,88 @@
+"""Model registry: name string → (module factory, preprocess, converter).
+
+Replaces the reference's name-based torch.hub dispatch
+(``torch.hub.load("intel-isl/MiDaS", model_type)`` + transform selection,
+depth_midas.py:10-16) with an explicit registry. Names match the reference
+exactly: "DPT_Large", "DPT_Hybrid", "MiDaS_small".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+from depth_estimation_tpu.config import (
+    DPT_PREPROCESS,
+    SMALL_PREPROCESS,
+    PreprocessConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    name: str
+    make_model: Callable
+    preprocess: PreprocessConfig
+    convert: Callable  # torch hub state dict -> flax params
+
+
+def _make_midas_small():
+    from depth_estimation_tpu.models.midas_small import MidasSmall
+
+    return MidasSmall()
+
+
+def _make_dpt_large():
+    from depth_estimation_tpu.models.dpt import DPT, DPT_LARGE
+
+    return DPT(DPT_LARGE)
+
+
+def _make_dpt_hybrid():
+    from depth_estimation_tpu.models.dpt import DPT, DPT_HYBRID
+
+    return DPT(DPT_HYBRID)
+
+
+def _convert_small(sd):
+    from depth_estimation_tpu.utils.convert import convert_midas_small
+
+    return convert_midas_small(sd)
+
+
+def _convert_dpt_large(sd):
+    from depth_estimation_tpu.models.dpt import DPT_LARGE
+    from depth_estimation_tpu.utils.convert import convert_dpt
+
+    return convert_dpt(sd, DPT_LARGE)
+
+
+def _convert_dpt_hybrid(sd):
+    from depth_estimation_tpu.models.dpt import DPT_HYBRID
+    from depth_estimation_tpu.utils.convert import convert_dpt
+
+    return convert_dpt(sd, DPT_HYBRID)
+
+
+_REGISTRY: Dict[str, ModelEntry] = {
+    "MiDaS_small": ModelEntry("MiDaS_small", _make_midas_small, SMALL_PREPROCESS, _convert_small),
+    "DPT_Large": ModelEntry("DPT_Large", _make_dpt_large, DPT_PREPROCESS, _convert_dpt_large),
+    "DPT_Hybrid": ModelEntry("DPT_Hybrid", _make_dpt_hybrid, DPT_PREPROCESS, _convert_dpt_hybrid),
+}
+
+
+def get_entry(model_type: str) -> ModelEntry:
+    try:
+        return _REGISTRY[model_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown model_type {model_type!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+def register(entry: ModelEntry) -> None:
+    _REGISTRY[entry.name] = entry

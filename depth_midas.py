@@ -1,0 +1,45 @@
+"""Depth-only video pipeline — entry point mirroring the reference's
+depth_midas.py (public surface: DepthEstimator, VidStream, __main__ block).
+
+Reference behavior (depth_midas.py:89-101): pick a model type, open a video,
+write raw-cast depth frames to an MJPG .avi. All compute now runs as fused
+XLA programs on TPU; decode/encode overlap device compute.
+
+Usage:
+    python depth_midas.py [--model-type DPT_Large] [--src VIDEO|synthetic:NxHxW]
+                          [--output out.avi]
+"""
+
+import argparse
+
+from depth_estimation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+from depth_estimation_tpu.estimator import DepthEstimator  # noqa: F401  (public surface)
+from depth_estimation_tpu.runtime.stream import VidStream  # noqa: F401
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--model-type",
+        default="DPT_Large",  # reference default (depth_midas.py:91)
+        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small"],
+    )
+    parser.add_argument("--src", default="synthetic:30x480x640", help="video path, camera index, or synthetic:<n>x<H>x<W>")
+    parser.add_argument("--output", default="midas_output.avi")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    midas = DepthEstimator(args.model_type)
+    video_stream = VidStream(midas, args.src, args.output, verbose=not args.quiet)
+    video_stream.update()
+    summary = video_stream.timer.summary()
+    if "depth" in summary:
+        s = summary["depth"]
+        print(f"depth: {s['frames']} frames, p50 {s['p50_ms']:.1f} ms, median {s['fps_median_wall']:.1f} FPS")
+
+
+if __name__ == "__main__":
+    main()

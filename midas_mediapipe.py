@@ -1,0 +1,52 @@
+"""Fused iris/pose + depth pipeline — entry point mirroring the reference's
+midas_mediapipe.py (public surface: VidStream with (estimator, detector,
+face, src, output), __main__ block).
+
+Reference behavior (midas_mediapipe.py:163-187): calibrate a FaceDet from
+credit-card endpoints, build a depth estimator + person detector, stream a
+video with per-frame iris detection, depth, metric-distance fusion and a
+side-by-side annotated output.
+
+Usage:
+    python midas_mediapipe.py [--model-type DPT_Large] [--src ...] [--output out.avi]
+"""
+
+import argparse
+
+from depth_estimation_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import numpy as np
+
+from depth_estimation_tpu.detect.person_detector import PersonDetector  # noqa: F401
+from depth_estimation_tpu.estimator import DepthEstimator  # noqa: F401
+from depth_estimation_tpu.geometry.face import FaceDet  # noqa: F401
+from depth_estimation_tpu.runtime.stream import FusedVidStream as VidStream  # noqa: F401
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--model-type",
+        default="DPT_Large",  # reference default (midas_mediapipe.py:165)
+        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small"],
+    )
+    parser.add_argument("--src", default="synthetic:30x480x640")
+    parser.add_argument("--output", default="midas_output.avi")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    # raw coordinates for card from test data (midas_mediapipe.py:174)
+    CARD = np.array([505, 504, 675, 501])
+    d_2_obj = 20  # distance to credit card, inches (:177)
+    face = FaceDet(d_2_obj, CARD)
+
+    estimator = DepthEstimator(args.model_type)
+    detector = PersonDetector(face)
+    video_stream = VidStream(estimator, detector, face, args.src, args.output, verbose=not args.quiet)
+    video_stream.stream()
+
+
+if __name__ == "__main__":
+    main()

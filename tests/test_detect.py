@@ -1,0 +1,188 @@
+"""Detector stack tests: circle fit vs cv2, anchors/decode/NMS vs numpy
+oracle, model output contracts, and the wrapper APIs end-to-end."""
+
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.detect.anchors import (
+    BLAZEFACE_FRONT,
+    BLAZEPOSE_DETECTOR,
+    build_anchors,
+    decode_boxes,
+    decode_scores,
+    nms,
+    weighted_nms,
+)
+from depth_estimation_tpu.detect.circle import min_enclosing_circle, min_enclosing_circle_jax
+
+
+# -- min enclosing circle ----------------------------------------------------
+
+@pytest.mark.parametrize("n", [2, 3, 4, 8])
+def test_mec_matches_cv2(rng, n):
+    import cv2
+
+    for trial in range(10):
+        pts = (rng.random((n, 2)) * 100).astype(np.float32)
+        (cx, cy), r = min_enclosing_circle(pts)
+        (rx, ry), rr = cv2.minEnclosingCircle(pts.astype(np.int32) if trial % 2 else pts)
+        if trial % 2:
+            # int grid like the reference mesh points
+            (cx, cy), r = min_enclosing_circle(pts.astype(np.int32))
+        assert abs(cx - rx) < 0.1 and abs(cy - ry) < 0.1
+        assert abs(r - rr) < 0.11  # cv2 pads its radius by ~1e-2 ulp-ish
+
+
+def test_mec_jax_matches_host(rng):
+    for _ in range(10):
+        pts = (rng.random((4, 2)) * 50).astype(np.float32)
+        (cx, cy), r = min_enclosing_circle(pts)
+        c_j, r_j = min_enclosing_circle_jax(pts)
+        c_j = np.asarray(c_j)
+        assert abs(c_j[0] - cx) < 1e-2 and abs(c_j[1] - cy) < 1e-2
+        assert abs(float(r_j) - r) < 1e-2
+
+
+# -- anchors / decode / NMS --------------------------------------------------
+
+def test_anchor_counts():
+    assert build_anchors(BLAZEFACE_FRONT).shape == (896, 4)
+    assert build_anchors(BLAZEPOSE_DETECTOR).shape == (28 * 28 * 2 + 14 * 14 * 2 + 7 * 7 * 8, 4)
+
+
+def test_decode_boxes_roundtrip():
+    anchors = build_anchors(BLAZEFACE_FRONT)
+    # raw regression that should decode to a box centered on anchor 0
+    raw = np.zeros((896, 16), np.float32)
+    raw[0, 2] = 25.6  # w = 25.6/128 = 0.2
+    raw[0, 3] = 12.8  # h = 0.1
+    out = np.asarray(decode_boxes(raw, anchors, 128.0))
+    cx, cy = anchors[0, 0], anchors[0, 1]
+    np.testing.assert_allclose(out[0, :4], [cy - 0.05, cx - 0.1, cy + 0.05, cx + 0.1], atol=1e-6)
+
+
+def test_decode_scores_clipping():
+    s = np.asarray(decode_scores(np.array([0.0, 1000.0, -1000.0], np.float32)))
+    np.testing.assert_allclose(s, [0.5, 1.0, 0.0], atol=1e-6)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array(
+        [
+            [0.0, 0.0, 0.4, 0.4],
+            [0.01, 0.01, 0.41, 0.41],  # heavy overlap, lower score
+            [0.6, 0.6, 0.9, 0.9],  # disjoint
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    out_boxes, out_scores, valid = nms(boxes, scores, iou_threshold=0.5, score_threshold=0.1, max_outputs=3)
+    valid = np.asarray(valid)
+    assert valid.sum() == 2
+    kept = np.asarray(out_scores)[valid]
+    np.testing.assert_allclose(sorted(kept, reverse=True), [0.9, 0.7])
+
+
+def test_weighted_nms_blends():
+    boxes = np.array(
+        [[0.0, 0.0, 0.4, 0.4], [0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]], np.float32
+    )
+    scores = np.array([0.9, 0.9, 0.7], np.float32)
+    out_boxes, out_scores, valid = weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=0.1)
+    out_boxes, valid = np.asarray(out_boxes), np.asarray(valid)
+    # first kept box is the average of the two equal-score overlapping boxes
+    np.testing.assert_allclose(out_boxes[0], [0.05, 0.05, 0.45, 0.45], atol=1e-6)
+    assert valid.sum() == 2
+
+
+# -- model output contracts ---------------------------------------------------
+
+def test_blazeface_output_shapes(rng):
+    import jax
+
+    from depth_estimation_tpu.models.blazeface import BlazeFace
+
+    m = BlazeFace()
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32))
+    raw_boxes, raw_scores = jax.jit(m.apply)(params, rng.standard_normal((1, 128, 128, 3)).astype(np.float32))
+    assert raw_boxes.shape == (1, 896, 16)
+    assert raw_scores.shape == (1, 896)
+
+
+def test_facemesh_output_shapes(rng):
+    import jax
+
+    from depth_estimation_tpu.models.facemesh import FaceMesh
+
+    m = FaceMesh()
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), np.zeros((1, 192, 192, 3), np.float32))
+    lm, score = jax.jit(m.apply)(params, rng.random((1, 192, 192, 3)).astype(np.float32))
+    assert lm.shape == (1, 478, 3)
+    assert score.shape == (1,)
+    assert 0.0 <= float(score[0]) <= 1.0
+
+
+def test_blazepose_output_shapes(rng):
+    import jax
+
+    from depth_estimation_tpu.models.blazepose import BlazePose, BlazePoseDetector
+
+    det = BlazePoseDetector()
+    p = jax.jit(det.init)(jax.random.PRNGKey(0), np.zeros((1, 224, 224, 3), np.float32))
+    rb, rs = jax.jit(det.apply)(p, rng.random((1, 224, 224, 3)).astype(np.float32))
+    assert rb.shape[1] == rs.shape[1] == 28 * 28 * 2 + 14 * 14 * 2 + 7 * 7 * 8
+    assert rb.shape[2] == 12
+
+    pose = BlazePose()
+    pp = jax.jit(pose.init)(jax.random.PRNGKey(0), np.zeros((1, 256, 256, 3), np.float32))
+    lm, score = jax.jit(pose.apply)(pp, rng.random((1, 256, 256, 3)).astype(np.float32))
+    assert lm.shape == (1, 33, 5)
+
+
+# -- wrapper APIs -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def person_detector():
+    from depth_estimation_tpu.detect.person_detector import PersonDetector
+    from depth_estimation_tpu.geometry.face import FaceDet
+
+    face = FaceDet(20, [505, 504, 675, 501])
+    return PersonDetector(face, seed=0), face
+
+
+def test_find_iris_populates_face(person_detector, rng):
+    det, face = person_detector
+    img = rng.integers(0, 256, (240, 320, 3), np.uint8)
+    face.mesh = None
+    det.findIris(img)
+    # random-weight detector either finds nothing (mesh None) or fills
+    # a consistent mesh + iris circles
+    if face.mesh is not None:
+        assert face.mesh.shape == (478, 2)
+        assert face.l_iris["radius"] is not None
+        assert face.r_iris["radius"] is not None
+
+
+def test_find_body_returns_two_head_points(person_detector, rng):
+    det, _ = person_detector
+    img = rng.integers(0, 256, (240, 320, 3), np.uint8)
+    out_img, head_pts = det.findBody(img)
+    assert out_img is img
+    assert len(head_pts) == 2
+    for pt in head_pts:
+        assert pt.shape == (2,)
+
+
+def test_face_detector_api(rng):
+    from depth_estimation_tpu.detect.face_detector import FaceDetector
+
+    det = FaceDetector(seed=0)
+    img = rng.integers(0, 256, (240, 320, 3), np.uint8)
+    out, bboxs = det.findFaces(img, draw=False)
+    assert out is img
+    for b in bboxs:
+        assert set(b) == {"id", "bbox", "score", "center"}
+        x, y, w, h = b["bbox"]
+        assert w >= 0 and h >= 0
+    mesh = det.findIris(img)
+    assert mesh is None or mesh.shape == (478, 2)

@@ -1,0 +1,130 @@
+"""Estimator + streaming runtime tests (configs 1-3 of BASELINE.json).
+
+Uses a tiny registered model so the full pipeline (preprocess → model →
+bicubic upsample → postprocess → sink) runs fast on CPU.
+"""
+
+import flax.linen as nn
+import numpy as np
+import pytest
+
+from depth_estimation_tpu import registry
+from depth_estimation_tpu.config import SMALL_PREPROCESS
+from depth_estimation_tpu.estimator import DepthEstimator
+from depth_estimation_tpu.runtime.stream import VidStream
+from depth_estimation_tpu.runtime.video import (
+    NullSink,
+    PrefetchSource,
+    SyntheticSource,
+    open_source,
+)
+
+
+class _TinyDepthNet(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME")(x)
+        h = nn.relu(h)
+        h = nn.Conv(1, (3, 3), padding="SAME")(h)
+        # model outputs half-res depth; estimator upsamples back
+        return nn.relu(h)[..., 0]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register_tiny():
+    registry.register(
+        registry.ModelEntry("Tiny_test", _TinyDepthNet, SMALL_PREPROCESS, lambda sd: sd)
+    )
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    with pytest.warns(UserWarning, match="random"):
+        return DepthEstimator("Tiny_test", verbose=False)
+
+
+def test_unknown_model_type_raises():
+    with pytest.raises(ValueError, match="unknown model_type"):
+        DepthEstimator("NoSuchModel", verbose=False)
+
+
+def test_predict_shape_and_dtype(estimator, rng):
+    img = rng.integers(0, 256, (480, 640, 3), np.uint8)
+    out = estimator.predict(img)
+    assert out.shape == (480, 640)
+    assert out.dtype == np.float32
+    # note: bicubic upsample may overshoot below 0 even though the net is
+    # ReLU-capped — identical to the reference's torch bicubic behavior
+
+
+def test_predict_batch_matches_single(estimator, rng):
+    imgs = rng.integers(0, 256, (2, 120, 160, 3), np.uint8)
+    batched = estimator.predict_batch(imgs)
+    single = estimator.predict(imgs[0])
+    np.testing.assert_allclose(batched[0], single, atol=1e-5)
+
+
+def test_frame_fn_cache_reuse(estimator, rng):
+    f1 = estimator.frame_fn((480, 640))
+    f2 = estimator.frame_fn((480, 640))
+    f3 = estimator.frame_fn((240, 320))
+    assert f1 is f2 and f1 is not f3
+
+
+def test_synthetic_source_determinism():
+    a = SyntheticSource(5, 64, 96)
+    b = SyntheticSource(5, 64, 96)
+    for _ in range(5):
+        oka, fa = a.read()
+        okb, fb = b.read()
+        assert oka and okb
+        np.testing.assert_array_equal(fa, fb)
+    assert a.read()[0] is False
+
+
+def test_synthetic_spec_parsing():
+    s = open_source("synthetic:7x32x48")
+    assert (s.frame_count, s.height, s.width) == (7.0, 32, 48)
+
+
+def test_prefetch_source_delivers_all_frames():
+    src = PrefetchSource(SyntheticSource(11, 32, 48))
+    frames = []
+    while True:
+        ok, f = src.read()
+        if not ok:
+            break
+        frames.append(f)
+    assert len(frames) == 11
+    # frames arrive in order
+    ref = SyntheticSource(11, 32, 48)
+    for f in frames:
+        _, g = ref.read()
+        np.testing.assert_array_equal(f, g)
+
+
+def test_vidstream_end_to_end(estimator, capsys):
+    sink = NullSink()
+    vs = VidStream(estimator, "synthetic:6x120x160", sink, verbose=True)
+    vs.update()
+    assert sink.frames_written == 6
+    assert sink.last_frame.shape == (120, 160, 3)
+    assert sink.last_frame.dtype == np.uint8
+    out = capsys.readouterr().out
+    assert "Frame: 6" in out  # reference-style frame prints
+
+
+def test_vidstream_output_matches_direct_predict(estimator):
+    """Pipelined stream output must equal direct predict + faithful cast."""
+    sink = NullSink()
+    vs = VidStream(estimator, SyntheticSource(3, 120, 160), sink, verbose=False)
+    vs.update()
+    src = SyntheticSource(3, 120, 160)
+    last = None
+    while True:
+        ok, f = src.read()
+        if not ok:
+            break
+        last = f
+    expect = estimator.predict(last).astype(np.uint8)
+    np.testing.assert_array_equal(sink.last_frame[..., 0], expect)
