@@ -28,6 +28,7 @@ from depth_estimation_tpu.runtime.timing import StageTimer
 from depth_estimation_tpu.runtime.video import (
     NullSink,
     PrefetchSource,
+    needs_prefetch,
     open_sink,
     open_source,
 )
@@ -39,7 +40,7 @@ class VidStream:
     def __init__(self, estimator, src=None, output=None, prefetch: bool = True, verbose: bool = True):
         self.estimator = estimator
         self.video = open_source(src)
-        if prefetch:
+        if prefetch and needs_prefetch(self.video):
             self.video = PrefetchSource(self.video)
         self.FPS = 1 / 30  # reference constant, unused for pacing (depth_midas.py:45)
         self.FPS_MS = int(self.FPS * 1000)
@@ -93,7 +94,9 @@ class FusedVidStream:
         self.detector = detector
         self.estimator = estimator
         self.face = face
-        self.video = PrefetchSource(open_source(src))
+        self.video = open_source(src)
+        if needs_prefetch(self.video):
+            self.video = PrefetchSource(self.video)
         self.FPS = 1 / 30
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)

@@ -99,12 +99,28 @@ class SyntheticSource(FrameSource):
         return True
 
 
-def open_source(src) -> FrameSource:
+def open_source(src, prefer_native: bool = True) -> FrameSource:
+    """Resolve a source spec. Prefers the C++ framepipe decoder (its own
+    decode thread + zero-copy ring) when built; falls back to Python IO."""
     if isinstance(src, FrameSource):
         return src
+    if prefer_native and isinstance(src, str):
+        from depth_estimation_tpu.runtime import native
+
+        if native.native_available():
+            ns = native.NativeSource(src)
+            if ns.is_opened():
+                return ns
     if isinstance(src, str) and src.startswith("synthetic:"):
         return SyntheticSource.from_spec(src)
     return OpenCVSource(src)
+
+
+def needs_prefetch(source: FrameSource) -> bool:
+    """Native sources already decode on their own C++ thread."""
+    from depth_estimation_tpu.runtime import native
+
+    return not isinstance(source, native.NativeSource) if native.native_available() else True
 
 
 class PrefetchSource(FrameSource):
@@ -183,9 +199,17 @@ class NullSink(FrameSink):
         self.last_frame = frame
 
 
-def open_sink(output, size_wh: Tuple[int, int], fps: int = 20) -> FrameSink:
+def open_sink(output, size_wh: Tuple[int, int], fps: int = 20, prefer_native: bool = True) -> FrameSink:
     if output is None:
         return NullSink()
     if isinstance(output, FrameSink):
         return output
+    if prefer_native:
+        from depth_estimation_tpu.runtime import native
+
+        if native.native_available():
+            try:
+                return native.NativeSink(output, size_wh, fps=fps)
+            except RuntimeError:
+                pass
     return OpenCVSink(output, size_wh, fps=fps)
