@@ -1,15 +1,28 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.md north star): DPT-Large 384×384 streaming-video
-FPS on one TPU chip, compared against the CPU reference FPS. The original
-repo publishes no numbers and its torch/timm/mediapipe stack cannot run here
-(no network / no timm), so the CPU baseline is THIS framework's identical
-f32 frame function on the CPU backend — the same math the torch reference
-executes on CPU (measured in a subprocess; cached in .bench_cache.json).
+Headline metric (BASELINE.md north star): DPT-Large 384×384 streaming FPS on
+one TPU chip, vs the CPU reference FPS (target ≥5×).
 
-Usage: python bench.py [--model-type DPT_Large] [--frames 32] [--height 384]
-                       [--width 384] [--cpu-frames 2] [--cpu-worker]
+Methodology
+-----------
+* **on-chip per-frame time** (headline): the full frame program — uint8
+  BGR→RGB, /255, cubic resize, normalize, network forward, bicubic upsample
+  back — iterated inside a single jitted ``lax.fori_loop`` with the input
+  perturbed per step; timed at two iteration counts and differenced, so
+  per-dispatch RPC/tunnel latency (this box reaches its TPU through a
+  tunnel with ~100 ms, high-variance round trips) cancels out. On a
+  production host this equals achievable steaming FPS.
+* **e2e client numbers** (secondary): per-frame latency with a full
+  host→device→host round trip, and pipelined-throughput as the client
+  observes it — both include tunnel overhead on this box.
+* **CPU reference**: the identical f32 frame program on the CPU backend
+  (the same math the torch reference runs on CPU; the original publishes no
+  numbers and its torch-hub/timm stack cannot run here). Measured in a
+  subprocess, cached in .bench_cache.json.
+
+Usage: python bench.py [--model-type DPT_Large] [--height 384] [--width 384]
+                       [--dtype float32|bfloat16] [--skip-cpu] [--cpu-worker]
 """
 
 import argparse
@@ -19,6 +32,7 @@ import pathlib
 import subprocess
 import sys
 import time
+import warnings
 
 import numpy as np
 
@@ -26,59 +40,107 @@ REPO = pathlib.Path(__file__).resolve().parent
 CACHE = REPO / ".bench_cache.json"
 
 
-def make_inputs(n, h, w):
-    sys.path.insert(0, str(REPO))
-    from depth_estimation_tpu.runtime.video import SyntheticSource
-
-    src = SyntheticSource(n, h, w)
-    frames = []
-    while True:
-        ok, f = src.read()
-        if not ok:
-            break
-        frames.append(f)
-    return frames
-
-
-def measure(model_type, frames, warmup=3):
-    import jax
-
+def build(model_type, dtype):
     from depth_estimation_tpu.estimator import DepthEstimator
-
-    import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        est = DepthEstimator(model_type, verbose=False)
-    h, w = frames[0].shape[:2]
-    fn = est.frame_fn((h, w))
-    for i in range(warmup):
-        jax.block_until_ready(fn(est.params, frames[i % len(frames)]))
+        return DepthEstimator(model_type, verbose=False, dtype=dtype)
 
-    # p50 latency: per-frame blocking round trip
+
+def frame0(h, w):
+    sys.path.insert(0, str(REPO))
+    from depth_estimation_tpu.runtime.video import SyntheticSource
+
+    return SyntheticSource(1, h, w).read()[1]
+
+
+def onchip_ms_per_frame(est, img_u8, n1=2, n2=12, repeats=3):
+    """Slope method: jitted fori_loop over the full frame program."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
+    from depth_estimation_tpu.ops.resize import resize2d
+
+    cfg = est.preprocess_cfg
+    in_hw = img_u8.shape[:2]
+    net_hw = compute_resize_shape(*in_hw, cfg)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    model, dtype = est.model, est.dtype
+
+    def make_loop(n):
+        @jax.jit
+        def loop(params, img):
+            def body(i, acc):
+                # perturb the frame per step so nothing folds/caches
+                x = (img + (i % 7).astype(jnp.uint8))[..., ::-1]
+                x = x.astype(jnp.float32) / 255.0
+                x = resize2d(x, net_hw, method="cubic", align_corners=False)
+                x = ((x - mean) / std).astype(dtype)
+                pred = model.apply(params, x[None]).astype(jnp.float32)
+                pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
+                return acc + pred.mean()
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    img = jnp.asarray(img_u8)
+    loops = {n: make_loop(n) for n in (n1, n2)}
+    # min over repeats of each t(n) independently filters tunnel stalls,
+    # which are additive positive noise
+    mins = {}
+    for n, loop in loops.items():
+        float(loop(est.params, img))  # compile + warm
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(loop(est.params, img))
+            ts.append(time.perf_counter() - t0)
+        mins[n] = min(ts)
+    per = (mins[n2] - mins[n1]) / (n2 - n1)
+    return max(per, 1e-6) * 1e3
+
+
+def e2e_numbers(est, frames):
+    import jax
+
+    fn = est.frame_fn(frames[0].shape[:2])
+    np.asarray(fn(est.params, frames[0]))  # warm
     lat = []
-    for f in frames[: min(len(frames), 16)]:
+    for f in frames[:8]:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(est.params, f))
+        np.asarray(fn(est.params, f))
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
-
-    # throughput: pipelined submissions, block at the end
     t0 = time.perf_counter()
-    out = None
-    for f in frames:
-        out = fn(est.params, f)
-    jax.block_until_ready(out)
+    outs = [fn(est.params, f) for f in frames]
+    for o in outs:
+        np.asarray(o)
     fps = len(frames) / (time.perf_counter() - t0)
     return fps, p50_ms
 
 
-def cpu_baseline(model_type, h, w, cpu_frames):
+def make_frames(n, h, w):
+    from depth_estimation_tpu.runtime.video import SyntheticSource
+
+    src = SyntheticSource(n, h, w)
+    out = []
+    while True:
+        ok, f = src.read()
+        if not ok:
+            return out
+        out.append(f)
+
+
+def cpu_baseline(model_type, h, w, cpu_frames=2):
     key = f"{model_type}_{h}x{w}_cpu_fps"
     if CACHE.exists():
         cache = json.loads(CACHE.read_text())
         if key in cache:
-            return cache[key], True
+            return cache[key]
     env = dict(os.environ, DEPTH_TPU_PLATFORM="cpu")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--cpu-worker",
@@ -86,23 +148,23 @@ def cpu_baseline(model_type, h, w, cpu_frames):
          "--height", str(h), "--width", str(w)],
         capture_output=True, text=True, env=env, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not line:
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
         raise RuntimeError(f"cpu worker failed: {out.stdout}\n{out.stderr}")
-    fps = json.loads(line[-1])["fps"]
+    fps = json.loads(lines[-1])["fps"]
     cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
     cache[key] = fps
     CACHE.write_text(json.dumps(cache))
-    return fps, False
+    return fps
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-type", default="DPT_Large")
-    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=384)
-    ap.add_argument("--cpu-frames", type=int, default=2)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cpu-worker", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
     args = ap.parse_args()
@@ -113,27 +175,36 @@ def main():
     apply_platform_env()
 
     if args.cpu_worker:
-        frames = make_inputs(max(args.frames, 2), args.height, args.width)
-        fps, p50 = measure(args.model_type, frames, warmup=1)
-        print(json.dumps({"fps": fps, "p50_ms": p50}))
+        # CPU backend: timing is reliable per call; measure a few frames
+        est = build(args.model_type, "float32")
+        frames = make_frames(max(args.frames, 2), args.height, args.width)
+        fn = est.frame_fn(frames[0].shape[:2])
+        np.asarray(fn(est.params, frames[0]))
+        t0 = time.perf_counter()
+        for f in frames:
+            np.asarray(fn(est.params, f))
+        fps = len(frames) / (time.perf_counter() - t0)
+        print(json.dumps({"fps": fps}))
         return
 
-    frames = make_inputs(args.frames, args.height, args.width)
-    fps, p50_ms = measure(args.model_type, frames)
+    est = build(args.model_type, args.dtype)
+    frames = make_frames(args.frames, args.height, args.width)
+    ms = onchip_ms_per_frame(est, frames[0])
+    fps = 1e3 / ms
+    e2e_fps, p50_ms = e2e_numbers(est, frames)
 
-    if args.skip_cpu:
-        cpu_fps = None
-    else:
-        cpu_fps, _cached = cpu_baseline(args.model_type, args.height, args.width, args.cpu_frames)
-
+    cpu_fps = None if args.skip_cpu else cpu_baseline(args.model_type, args.height, args.width)
     vs = (fps / cpu_fps) if cpu_fps else None
     print(json.dumps({
         "metric": f"{args.model_type}_{args.height}x{args.width}_stream_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "p50_latency_ms": round(p50_ms, 2),
-        "cpu_reference_fps": round(cpu_fps, 3) if cpu_fps else None,
+        "onchip_ms_per_frame": round(ms, 3),
+        "dtype": args.dtype,
+        "e2e_client_fps": round(e2e_fps, 2),
+        "e2e_p50_latency_ms": round(p50_ms, 2),
+        "cpu_reference_fps": round(cpu_fps, 4) if cpu_fps else None,
     }))
 
 

@@ -54,7 +54,20 @@ def main(argv=None):
     parser.add_argument("--src", default="synthetic:30x480x640")
     parser.add_argument("--output", default="output.avi")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--with-depth",
+        metavar="MODEL",
+        default=None,
+        help="also run a depth net (e.g. MiDaS_small) and report the median "
+        "relative inverse depth inside each detector box (on-device reduce)",
+    )
     args = parser.parse_args(argv)
+
+    estimator = None
+    if args.with_depth:
+        from depth_estimation_tpu.estimator import DepthEstimator
+
+        estimator = DepthEstimator(args.with_depth, verbose=not args.quiet)
 
     video = open_source(args.src)
     print(f"Frame count: {video.frame_count}")
@@ -138,6 +151,20 @@ def main(argv=None):
             # TIER 2 — face bbox + median head width (depth_by_detection.py:252-274)
             _put_text(img, "Landmarks not detected. Using face boundaries.", (70, 50), (255, 0, 0))
             img, bboxes = detector.findFaces(img)
+            if estimator is not None and bboxes:
+                # config 5: per-ROI median relative inverse depth, on-device
+                from depth_estimation_tpu.ops.sampling import rois_median_depth
+
+                depth_map = estimator.predict_device(img)
+                boxes_yxyx = np.array(
+                    [[b["bbox"][1], b["bbox"][0], b["bbox"][1] + b["bbox"][3], b["bbox"][0] + b["bbox"][2]]
+                     for b in bboxes], np.int32,
+                )
+                meds = np.asarray(rois_median_depth(depth_map, boxes_yxyx, np.ones(len(bboxes), bool)))
+                for b, med in zip(bboxes, meds):
+                    b["roi_median_depth"] = float(med)
+                    _put_text(img, f"ROI median ri-depth: {round(float(med), 2)}",
+                              (b["bbox"][0], max(20, b["bbox"][1] - 40)), (0, 255, 255), scale=0.6, thick=1)
             if head_measurements and bboxes:
                 head_w_mm = median(head_measurements)
                 for box in bboxes:

@@ -45,13 +45,18 @@ class DepthEstimator:
         params: Optional[Dict] = None,
         seed: int = 0,
         verbose: bool = True,
+        dtype: str = "float32",
     ):
+        """dtype: 'float32' (default; numeric parity with the reference) or
+        'bfloat16' (the MXU fast path — params and activations in bf16,
+        depth output back in f32)."""
         self.model_type = model_type
         if verbose:
             print(f"Loading model: {self.model_type}")  # reference: depth_midas.py:9
         self.entry = get_entry(model_type)
         self.model = self.entry.make_model()
         self.preprocess_cfg = self.entry.preprocess
+        self.dtype = jnp.dtype(dtype)
 
         if params is None:
             params = ckpt.load_params(model_type)
@@ -70,6 +75,10 @@ class DepthEstimator:
                 jax.random.PRNGKey(seed), np.zeros((1, *init_hw, 3), np.float32)
             )["params"]
         self.params = {"params": params} if "params" not in params else params
+        if self.dtype != jnp.float32:
+            self.params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.dtype), self.params
+            )
         self._fn_cache: Dict[Tuple[int, int, bool], object] = {}
 
     # -- fused frame function ----------------------------------------------
@@ -82,14 +91,15 @@ class DepthEstimator:
         mean = jnp.asarray(cfg.mean, jnp.float32)
         std = jnp.asarray(cfg.std, jnp.float32)
         model = self.model
+        dtype = self.dtype
 
         @jax.jit
         def frame_fn(params, img_u8):
             x = img_u8[..., ::-1] if bgr else img_u8
             x = x.astype(jnp.float32) / 255.0
             x = resize2d(x, net_hw, method="cubic", align_corners=False)
-            x = (x - mean) / std
-            pred = model.apply(params, x[None])  # (1, h, w)
+            x = ((x - mean) / std).astype(dtype)
+            pred = model.apply(params, x[None]).astype(jnp.float32)  # (1, h, w)
             # reference upsamples the prediction back to the source resolution
             # with bicubic align_corners=False (depth_midas.py:28-33)
             pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
@@ -131,13 +141,14 @@ class DepthEstimator:
         mean = jnp.asarray(cfg.mean, jnp.float32)
         std = jnp.asarray(cfg.std, jnp.float32)
         model = self.model
+        dtype = self.dtype
 
         @jax.jit
         def batch_fn(params, imgs_u8):
             x = imgs_u8[..., ::-1].astype(jnp.float32) / 255.0
             x = resize2d(x, net_hw, method="cubic", align_corners=False)
-            x = (x - mean) / std
-            pred = model.apply(params, x)  # (B, h, w)
+            x = ((x - mean) / std).astype(dtype)
+            pred = model.apply(params, x).astype(jnp.float32)  # (B, h, w)
             up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
             return up[..., 0]
 

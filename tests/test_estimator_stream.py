@@ -128,3 +128,18 @@ def test_vidstream_output_matches_direct_predict(estimator):
         last = f
     expect = estimator.predict(last).astype(np.uint8)
     np.testing.assert_array_equal(sink.last_frame[..., 0], expect)
+
+
+def test_bfloat16_estimator_close_to_f32(rng):
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        e32 = DepthEstimator("Tiny_test", verbose=False, dtype="float32")
+        e16 = DepthEstimator("Tiny_test", verbose=False, dtype="bfloat16", seed=0)
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    d32 = e32.predict(img)
+    d16 = e16.predict(img)
+    assert d16.dtype == np.float32  # output always comes back f32
+    scale = np.abs(d32).max() + 1e-8
+    assert np.abs(d32 - d16).max() / scale < 0.05
