@@ -134,6 +134,24 @@ class DepthEstimator:
         fn = self._batched_fn(imgs.shape[1:3])
         return np.asarray(fn(self.params, imgs))
 
+    def predict_batch_sharded(self, imgs: np.ndarray, mesh) -> np.ndarray:
+        """Batched inference data-parallel over a device mesh's ``dp`` axis
+        (SURVEY.md §2c: DP across chips over ICI for batched stills).
+
+        Batch size must be divisible by the dp axis size. Params are
+        replicated once per mesh and cached.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key = id(mesh)
+        cached = getattr(self, "_mesh_params", {})
+        if key not in cached:
+            cached[key] = jax.device_put(self.params, NamedSharding(mesh, P()))
+            self._mesh_params = cached
+        fn = self._batched_fn(imgs.shape[1:3])
+        imgs_sharded = jax.device_put(imgs, NamedSharding(mesh, P("dp")))
+        return np.asarray(fn(cached[key], imgs_sharded))
+
     @functools.lru_cache(maxsize=32)
     def _batched_fn(self, in_hw: Tuple[int, int]):
         cfg = self.preprocess_cfg

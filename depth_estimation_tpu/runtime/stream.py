@@ -37,11 +37,15 @@ from depth_estimation_tpu.runtime.video import (
 class VidStream:
     """Depth-only stream (reference: depth_midas.py:38-85)."""
 
-    def __init__(self, estimator, src=None, output=None, prefetch: bool = True, verbose: bool = True):
+    def __init__(self, estimator, src=None, output=None, prefetch: bool = True,
+                 verbose: bool = True, start_frame: int = 0):
+        """start_frame: skip the first N frames before processing —
+        deterministic resume of an interrupted stream (SURVEY.md §5)."""
         self.estimator = estimator
         self.video = open_source(src)
         if prefetch and needs_prefetch(self.video):
             self.video = PrefetchSource(self.video)
+        self.start_frame = int(start_frame)
         self.FPS = 1 / 30  # reference constant, unused for pacing (depth_midas.py:45)
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -55,6 +59,11 @@ class VidStream:
 
     def update(self):
         """Run the loop to EOF (reference semantics incl. prints)."""
+        for _ in range(self.start_frame):  # deterministic resume
+            ok, _f = self.video.read()
+            if not ok:
+                break
+            self.cnt += 1
         pending = None  # one-frame software pipeline: device result in flight
         while True:
             if not self.video.is_opened():

@@ -96,3 +96,28 @@ def import_torch_checkpoint(pt_path: str, model_type: str) -> Dict:
     params = entry.convert(sd)
     save_params(model_type, params, meta={"source_sha256": digest, "model_type": model_type})
     return params
+
+
+# -- training state (checkpoint/resume, SURVEY.md §5) -------------------------
+
+def save_train_state(path: str | pathlib.Path, state) -> None:
+    """Save a TrainState (or any pytree) with orbax."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path.resolve(), state)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str | pathlib.Path, template):
+    """Restore into the structure of ``template`` (same pytree/shapes)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(pathlib.Path(path).resolve(), template)

@@ -143,3 +143,24 @@ def test_bfloat16_estimator_close_to_f32(rng):
     assert d16.dtype == np.float32  # output always comes back f32
     scale = np.abs(d32).max() + 1e-8
     assert np.abs(d32 - d16).max() / scale < 0.05
+
+
+def test_predict_batch_sharded_matches_single(estimator, rng):
+    from depth_estimation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, tp=1)
+    imgs = rng.integers(0, 256, (8, 96, 128, 3), np.uint8)
+    with mesh:
+        sharded = estimator.predict_batch_sharded(imgs, mesh)
+    single = estimator.predict_batch(imgs)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_stream_resume_from_frame(estimator):
+    full = NullSink()
+    VidStream(estimator, SyntheticSource(6, 120, 160), full, verbose=False).update()
+    resumed = NullSink()
+    VidStream(estimator, SyntheticSource(6, 120, 160), resumed, verbose=False, start_frame=4).update()
+    assert full.frames_written == 6
+    assert resumed.frames_written == 2
+    np.testing.assert_array_equal(resumed.last_frame, full.last_frame)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""TPU smoke test: compile + run every Pallas kernel and the three model
+forwards on the real chip, checking numerics against the XLA paths.
+
+Usage: python tools/tpu_smoke.py   (requires a TPU backend)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    assert jax.default_backend() == "tpu", f"need TPU, got {jax.default_backend()}"
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # Pallas fused preprocess vs XLA
+    from depth_estimation_tpu.config import DPT_PREPROCESS
+    from depth_estimation_tpu.ops.pallas.resize import pallas_preprocess, pallas_resize2d
+    from depth_estimation_tpu.ops.preprocess import compute_resize_shape, preprocess
+    from depth_estimation_tpu.ops.resize import resize2d
+
+    img = rng.integers(0, 256, (480, 640, 3), np.uint8)
+    out_hw = compute_resize_shape(480, 640, DPT_PREPROCESS)
+    t0 = time.time()
+    got = np.asarray(pallas_preprocess(img, out_hw, DPT_PREPROCESS.mean, DPT_PREPROCESS.std))
+    ref = np.asarray(preprocess(img, DPT_PREPROCESS))
+    d = np.abs(got - ref).max()
+    print(f"pallas_preprocess: compile+run {time.time()-t0:.1f}s maxdiff {d:.2e}")
+    ok &= d < 1e-3
+
+    depth = rng.random((384, 512)).astype(np.float32)
+    got = np.asarray(pallas_resize2d(depth, (480, 640)))
+    ref = np.asarray(resize2d(depth, (480, 640), method="cubic", align_corners=False))
+    d = np.abs(got - ref).max()
+    print(f"pallas_resize2d: maxdiff {d:.2e}")
+    ok &= d < 1e-3
+
+    # Pallas flash attention vs XLA
+    from depth_estimation_tpu.ops.pallas.attention import _attention_xla, multi_head_attention
+
+    q, k, v = (rng.standard_normal((1, 16, 577, 64)).astype(np.float32) for _ in range(3))
+    got = np.asarray(multi_head_attention(q, k, v, use_pallas=True))
+    ref = np.asarray(_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 64 ** -0.5))
+    d = np.abs(got - ref).max()
+    print(f"pallas flash attention: maxdiff vs XLA-on-TPU {d:.2e} (XLA uses bf16 passes)")
+    ok &= d < 5e-2
+
+    # model forwards compile + run
+    import warnings
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+
+    for name in ("MiDaS_small", "DPT_Large", "DPT_Hybrid"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            est = DepthEstimator(name, verbose=False)
+        t0 = time.time()
+        out = est.predict(img)
+        print(f"{name}: predict {img.shape} -> {out.shape} in {time.time()-t0:.1f}s (incl compile)")
+        ok &= out.shape == (480, 640)
+
+    print("SMOKE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
