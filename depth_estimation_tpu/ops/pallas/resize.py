@@ -32,17 +32,23 @@ from depth_estimation_tpu.ops.resize import interp_matrix
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16MB/core
 
 
-def _preprocess_kernel(x_ref, wh_ref, wwt_ref, out_ref, *, mean, std, bgr_to_rgb):
-    # x_ref: (3, H_in, W_in) uint8 planar; out_ref: (3, H_out, W_out) f32
-    wh = wh_ref[:]
-    wwt = wwt_ref[:]
-    for c in range(3):
-        src_c = 2 - c if bgr_to_rgb else c
-        # Mosaic has no direct u8->f32 cast; hop through i32
-        xc = x_ref[src_c].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-        t = jnp.dot(wh, xc, preferred_element_type=jnp.float32)
-        o = jnp.dot(t, wwt, preferred_element_type=jnp.float32)
-        out_ref[c] = (o - mean[c]) * (1.0 / std[c])
+def _dot_f32(a, b):
+    # true-f32 MXU matmul (multi-pass); DEFAULT would round inputs to bf16
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _preprocess_kernel(mean_ref, std_ref, x_ref, wh_ref, wwt_ref, out_ref):
+    # grid over channels: x_ref block is ONE input plane (1, H_in, W_in) u8
+    # (the BGR→RGB flip is folded into the input index_map); out_ref is the
+    # matching output plane. Mosaic has no direct u8->f32 cast; hop via i32.
+    c = pl.program_id(0)
+    xc = x_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    o = _dot_f32(_dot_f32(wh_ref[:], xc), wwt_ref[:])
+    out_ref[0] = (o - mean_ref[c]) / std_ref[c]
 
 
 def _fits_vmem(h_in, w_in, h_out, w_out, planes=3):
@@ -72,23 +78,29 @@ def pallas_preprocess(
     wh = jnp.asarray(interp_matrix(h_in, h_out, method, False))
     wwt = jnp.asarray(interp_matrix(w_in, w_out, method, False).T)
     x = jnp.transpose(img_u8, (2, 0, 1))  # planar
+    mean_v = jnp.asarray(mean, jnp.float32)
+    std_v = jnp.asarray(std, jnp.float32)
 
-    kernel = functools.partial(
-        _preprocess_kernel, mean=tuple(mean), std=tuple(std), bgr_to_rgb=bgr_to_rgb
-    )
+    src_plane = (lambda c: (2 - c, 0, 0)) if bgr_to_rgb else (lambda c: (c, 0, 0))
     out = pl.pallas_call(
-        kernel,
+        _preprocess_kernel,
+        grid=(3,),
         out_shape=jax.ShapeDtypeStruct((3, h_out, w_out), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mean (3,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # std (3,)
+            pl.BlockSpec((1, h_in, w_in), src_plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_out, h_in), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, w_out), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_out, w_out), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, wh, wwt)
+    )(mean_v, std_v, x, wh, wwt)
     return jnp.transpose(out, (1, 2, 0))[None]
 
 
 def _resize_kernel(x_ref, wh_ref, wwt_ref, out_ref):
-    t = jnp.dot(wh_ref[:], x_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.dot(t, wwt_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = _dot_f32(_dot_f32(wh_ref[:], x_ref[:].astype(jnp.float32)), wwt_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "method", "align_corners", "interpret"))
