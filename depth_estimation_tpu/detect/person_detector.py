@@ -105,7 +105,9 @@ class PersonDetector:
 
         @jax.jit
         def fn(params, img_u8):
-            x = img_u8.astype(jnp.float32) / 127.5 - 1.0
+            # detectors consume RGB (the reference converts before MediaPipe,
+            # detectors.py:47); frames arrive BGR
+            x = img_u8[..., ::-1].astype(jnp.float32) / 127.5 - 1.0
             x = resize2d(x, (size, size), method="linear", align_corners=False)
             raw_boxes, raw_scores = model.apply(params, x[None])
             boxes = decode_boxes(raw_boxes[0], anchors, float(size))
@@ -143,12 +145,14 @@ class PersonDetector:
 
     # -- helpers ------------------------------------------------------------
 
-    def _best_face_box(self, img) -> Optional[Tuple[int, int, int, int]]:
-        """Run face detection; return pixel (x0, y0, x1, y1) with margin."""
+    def _best_face_box(self, img, detection=None) -> Optional[Tuple[int, int, int, int]]:
+        """Pixel (x0, y0, x1, y1) with margin, from a fresh detection or a
+        precomputed (boxes, scores, valid) triple (fused pipeline)."""
         h, w = img.shape[:2]
-        fn = self._detect_fn((h, w), "face")
-        boxes, scores, valid = fn(self._face_det_params, img)
-        scores = np.asarray(scores)
+        if detection is None:
+            fn = self._detect_fn((h, w), "face")
+            detection = fn(self._face_det_params, img)
+        boxes, scores, valid = detection
         if not bool(np.asarray(valid)[0]):
             return None
         ymin, xmin, ymax, xmax = np.asarray(boxes)[0, :4]
@@ -162,15 +166,18 @@ class PersonDetector:
 
     # -- public API (reference-compatible) ----------------------------------
 
-    def findIris(self, img: np.ndarray) -> None:
+    def findIris(self, img: np.ndarray, detection=None) -> None:
         """Detect the irises of a single person (reference: detectors.py:42-64).
 
         On success writes ``face.mesh`` (478×2 int pixel coords) and the two
         iris circles; on miss leaves ``face.mesh`` untouched (the stream
         resets it to None per frame, midas_mediapipe.py:51).
+
+        ``detection``: optional precomputed (boxes, scores, valid) from the
+        fused single-dispatch frame program (runtime/fused.py).
         """
         self.h, self.w = img.shape[:2]
-        box = self._best_face_box(img)
+        box = self._best_face_box(img, detection)
         if box is None:
             self.results = None
             return

@@ -99,13 +99,22 @@ class VidStream:
 class FusedVidStream:
     """Fused iris/pose + depth stream (reference: midas_mediapipe.py:11-159)."""
 
-    def __init__(self, estimator, detector, face, src=None, output=None, verbose: bool = True):
+    def __init__(self, estimator, detector, face, src=None, output=None,
+                 verbose: bool = True, fused: bool = True, start_frame: int = 0):
+        """fused=True computes depth + face detection in ONE XLA dispatch per
+        frame (runtime/fused.py); the mesh stage runs only on detection hits."""
         self.detector = detector
         self.estimator = estimator
         self.face = face
         self.video = open_source(src)
         if needs_prefetch(self.video):
             self.video = PrefetchSource(self.video)
+        self.start_frame = int(start_frame)
+        self._fused_runner = None
+        if fused and hasattr(detector, "_face_det"):
+            from depth_estimation_tpu.runtime.fused import FusedFrameRunner
+
+            self._fused_runner = FusedFrameRunner(estimator, detector)
         self.FPS = 1 / 30
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -120,6 +129,11 @@ class FusedVidStream:
         self.verbose = verbose
 
     def stream(self):
+        for _ in range(self.start_frame):  # deterministic resume
+            ok, _f = self.video.read()
+            if not ok:
+                break
+            self.cnt += 1
         while True:
             if not self.video.is_opened():
                 print("Error opening file.")
@@ -138,10 +152,17 @@ class FusedVidStream:
                 print(f"Frame: {self.cnt}")
 
             self.face.mesh = None  # per-frame detection reset (:51)
-            with self.timer.stage("depth"):
-                depth_dev = self.estimator.predict_device(self.frame)
-            with self.timer.stage("iris"):
-                self.detector.findIris(self.frame)
+            if self._fused_runner is not None:
+                # one dispatch: depth + detection together
+                with self.timer.stage("depth"):
+                    depth_dev, boxes, scores, valid = self._fused_runner(self.frame)
+                with self.timer.stage("iris"):
+                    self.detector.findIris(self.frame, detection=(boxes, scores, valid))
+            else:
+                with self.timer.stage("depth"):
+                    depth_dev = self.estimator.predict_device(self.frame)
+                with self.timer.stage("iris"):
+                    self.detector.findIris(self.frame)
             depth_frame = np.asarray(depth_dev)
 
             self.face.get_depth(depth_frame)

@@ -186,3 +186,38 @@ def test_face_detector_api(rng):
         assert w >= 0 and h >= 0
     mesh = det.findIris(img)
     assert mesh is None or mesh.shape == (478, 2)
+
+
+def test_fused_frame_runner_matches_staged(rng):
+    """Single-dispatch fused program == separate depth + detection dispatches."""
+    import warnings
+
+    from depth_estimation_tpu import registry
+    from depth_estimation_tpu.estimator import DepthEstimator
+    from depth_estimation_tpu.runtime.fused import FusedFrameRunner
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        est = DepthEstimator("Tiny_test" if "Tiny_test" in registry.available_models() else "MiDaS_small", verbose=False)
+    det, _face = _make_person_detector()
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+
+    runner = FusedFrameRunner(est, det)
+    depth_f, boxes_f, scores_f, valid_f = runner(img)
+
+    depth_s = est.predict(img)
+    fn = det._detect_fn((120, 160), "face")
+    boxes_s, scores_s, valid_s = fn(det._face_det_params, img)
+
+    np.testing.assert_allclose(np.asarray(depth_f), depth_s, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores_f), np.asarray(scores_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes_f), np.asarray(boxes_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid_f), np.asarray(valid_s))
+
+
+def _make_person_detector():
+    from depth_estimation_tpu.detect.person_detector import PersonDetector
+    from depth_estimation_tpu.geometry.face import FaceDet
+
+    face = FaceDet(20, [505, 504, 675, 501])
+    return PersonDetector(face, seed=0), face
