@@ -81,10 +81,6 @@ class ModelConfig:
     param_dtype: jnp.dtype = jnp.float32
     # Use the Pallas flash-attention kernel for ViT attention (DPT models).
     use_pallas_attention: bool = True
-    # Static input size buckets the jit-compiled forward accepts. Frames are
-    # resized per the preprocess config then padded up to the nearest bucket
-    # (XLA needs static shapes; the reference's dynamic resize is bucketed).
-    static_buckets: Tuple[Tuple[int, int], ...] = ((384, 384), (384, 672), (672, 384))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,32 +43,6 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
-class Conv(nn.Module):
-    """2D conv, NHWC. padding: 'SAME' (TF) or int (torch symmetric)."""
-
-    features: int
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
-    padding: Union[str, int] = "SAME"
-    groups: int = 1
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = ((pad, pad), (pad, pad))
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            name="conv",
-        )(x)
-
-
 class ConvBnAct(nn.Module):
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
