@@ -120,8 +120,13 @@ class DepthEstimator:
     def predict(self, img: np.ndarray) -> np.ndarray:
         """BGR uint8 (H, W, 3) → float32 (H, W) relative inverse depth
         (reference: depth_midas.py:21-35)."""
+        from depth_estimation_tpu.utils.debug import check_depth_output, check_frame_input
+
+        check_frame_input(img)
         fn = self.frame_fn(img.shape[:2])
-        return np.asarray(fn(self.params, img))
+        out = np.asarray(fn(self.params, img))
+        check_depth_output(out, img.shape[:2])
+        return out
 
     def predict_device(self, img) -> jax.Array:
         """Same as predict but leaves the result on device (for fused

@@ -38,7 +38,11 @@ class DPTConfig:
     hybrid: bool = False
     img_size: int = 384
     non_negative: bool = True
-    use_pallas: bool = True
+    # A/B on a real v5e: XLA's fused attention beats the Pallas flash kernel
+    # at the 577-token ViT length (6.9 vs 10.1 ms/frame full-model) — flash
+    # attention's memory savings buy nothing this short. The Pallas kernel
+    # remains available for long-sequence configs.
+    use_pallas: bool = False
 
 
 DPT_LARGE = DPTConfig()

@@ -233,6 +233,13 @@ class FusedVidStream:
         except ImportError:
             pass
 
+    def detect_points(self, img):
+        """API-parity with the reference's (dead) helper
+        (midas_mediapipe.py:136-139): iris first, body on miss."""
+        self.detector.findIris(img)
+        if self.face.mesh is None:
+            self.detector.findBody(img)
+
     def write_messages(self, messages, img):
         for idx, m in enumerate(messages):
             self._put_text(img, m, (50, 50 + idx * 50), (0, 255, 0))

@@ -164,3 +164,13 @@ def test_stream_resume_from_frame(estimator):
     assert full.frames_written == 6
     assert resumed.frames_written == 2
     np.testing.assert_array_equal(resumed.last_frame, full.last_frame)
+
+
+def test_debug_mode_guards(estimator, rng, monkeypatch):
+    monkeypatch.setenv("DEPTH_TPU_DEBUG", "1")
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    out = estimator.predict(img)  # passes the guards
+    assert out.shape == (64, 96)
+    bad = img.astype(np.float32)
+    with pytest.raises(AssertionError, match="uint8"):
+        estimator.predict(bad)
