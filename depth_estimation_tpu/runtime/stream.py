@@ -56,6 +56,9 @@ class VidStream:
         self.cnt = 0
         self.verbose = verbose
         self.timer = StageTimer()
+        from depth_estimation_tpu.runtime.logging_utils import JsonLogger
+
+        self.log = JsonLogger()
 
     def update(self):
         """Run the loop to EOF (reference semantics incl. prints)."""
@@ -85,6 +88,9 @@ class VidStream:
             self._write(pending)
         self.video.release()
         self.writer.release()
+        if self.log.enabled:
+            self.log.log("stream_end", frames=self.cnt, **self.timer.summary())
+            self.log.close()
 
     def _write(self, device_pred):
         """uint8 cast (wraparound preserved) + gray→3ch (depth_midas.py:81-85)."""
@@ -127,6 +133,9 @@ class FusedVidStream:
         self.timer = StageTimer()
         self.performance = self.timer.performance  # reference-compatible dict
         self.verbose = verbose
+        from depth_estimation_tpu.runtime.logging_utils import JsonLogger
+
+        self.log = JsonLogger()
 
     def stream(self):
         for _ in range(self.start_frame):  # deterministic resume
@@ -167,6 +176,14 @@ class FusedVidStream:
 
             self.face.get_depth(depth_frame)
             self.face.rel2abs()
+            if self.log.enabled:
+                self.log.log(
+                    "frame",
+                    n=self.cnt,
+                    ri_depth=float(self.face.ri_depth),
+                    abs_depth=float(self.face.abs_depth),
+                    face_found=self.face.mesh is not None,
+                )
             if self.face.mesh is not None and not (self.face.l_iris["radius"] or 0) > 0:
                 # degenerate iris fit — route through the body-pose fallback
                 # instead of dividing by a zero diameter

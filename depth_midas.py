@@ -30,10 +30,13 @@ def main(argv=None):
     parser.add_argument("--src", default="synthetic:30x480x640", help="video path, camera index, or synthetic:<n>x<H>x<W>")
     parser.add_argument("--output", default="midas_output.avi")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
+    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
-    midas = DepthEstimator(args.model_type)
-    video_stream = VidStream(midas, args.src, args.output, verbose=not args.quiet)
+    midas = DepthEstimator(args.model_type, dtype=args.dtype)
+    video_stream = VidStream(midas, args.src, args.output, verbose=not args.quiet,
+                             start_frame=args.start_frame)
     video_stream.update()
     summary = video_stream.timer.summary()
     if "depth" in summary:

@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--src", default="synthetic:30x480x640")
     parser.add_argument("--output", default="midas_output.avi")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
+    parser.add_argument("--no-fused", action="store_true",
+                        help="run depth and detection as separate dispatches")
     args = parser.parse_args(argv)
 
     # raw coordinates for card from test data (midas_mediapipe.py:174)
@@ -44,7 +47,9 @@ def main(argv=None):
 
     estimator = DepthEstimator(args.model_type)
     detector = PersonDetector(face)
-    video_stream = VidStream(estimator, detector, face, args.src, args.output, verbose=not args.quiet)
+    video_stream = VidStream(estimator, detector, face, args.src, args.output,
+                             verbose=not args.quiet, fused=not args.no_fused,
+                             start_frame=args.start_frame)
     video_stream.stream()
 
 

@@ -174,3 +174,14 @@ def test_debug_mode_guards(estimator, rng, monkeypatch):
     bad = img.astype(np.float32)
     with pytest.raises(AssertionError, match="uint8"):
         estimator.predict(bad)
+
+
+def test_json_logging(estimator, tmp_path, monkeypatch):
+    log = tmp_path / "log.jsonl"
+    monkeypatch.setenv("DEPTH_TPU_LOG_JSON", str(log))
+    VidStream(estimator, SyntheticSource(3, 120, 160), NullSink(), verbose=False).update()
+    import json
+
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert lines[-1]["event"] == "stream_end"
+    assert lines[-1]["frames"] == 3
