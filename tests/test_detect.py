@@ -221,3 +221,40 @@ def _make_person_detector():
 
     face = FaceDet(20, [505, 504, 675, 501])
     return PersonDetector(face, seed=0), face
+
+
+def test_iris_landmark_projection_exact(rng, monkeypatch):
+    """Known landmarks from a mocked mesh model must land at exactly the
+    crop-to-image mapped pixel coordinates, and the iris circle must match
+    the host MEC of those points."""
+    import jax.numpy as jnp
+
+    det, face = _make_person_detector()
+    img = rng.integers(0, 256, (240, 320, 3), np.uint8)
+
+    # force a known face box: (x0, y0, x1, y1) = (64, 48, 192, 144)
+    monkeypatch.setattr(det, "_best_face_box", lambda img, detection=None: (64, 48, 192, 144))
+
+    lm = np.zeros((478, 3), np.float32)
+    # iris points in crop coords (192-unit space)
+    lm[474] = (96, 96, 0)
+    lm[475] = (100, 96, 0)
+    lm[476] = (96, 100, 0)
+    lm[477] = (100, 100, 0)
+    lm[469:473] = [(20, 20, 0), (24, 20, 0), (20, 24, 0), (24, 24, 0)]
+    monkeypatch.setattr(det, "_mesh_fn", lambda params, crop: (jnp.asarray(lm), jnp.asarray(0.9)))
+
+    face.mesh = None
+    det.findIris(img)
+    sx = (192 - 64) / 192.0  # crop width / 192
+    sy = (144 - 48) / 192.0
+    exp_x = 64 + 96 * sx
+    exp_y = 48 + 96 * sy
+    assert face.mesh[474][0] == int(exp_x)
+    assert face.mesh[474][1] == int(exp_y)
+    # iris circle equals MEC of the projected points
+    from depth_estimation_tpu.detect.circle import min_enclosing_circle
+
+    (cx, cy), r = min_enclosing_circle(face.mesh[det.LEFT_IRIS])
+    assert face.l_iris["center"] == (cx, cy)
+    assert face.l_iris["radius"] == r

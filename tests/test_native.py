@@ -98,3 +98,20 @@ def test_open_source_prefers_native():
     assert isinstance(s, native.NativeSource)
     s2 = open_source("synthetic:2x16x16", prefer_native=False)
     assert isinstance(s2, SyntheticSource)
+
+
+def test_prefetch_and_native_stress_order():
+    """200 frames through the native ring with a fast consumer: exact order."""
+    ns = native.NativeSource("synthetic:200x32x48", ring_depth=4)
+    ref = SyntheticSource(200, 32, 48)
+    n = 0
+    while True:
+        ok, f = ns.read()
+        ok2, g = ref.read()
+        assert ok == ok2
+        if not ok:
+            break
+        np.testing.assert_array_equal(f, g)
+        n += 1
+    assert n == 200
+    ns.release()
