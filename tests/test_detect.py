@@ -252,9 +252,9 @@ def test_iris_landmark_projection_exact(rng, monkeypatch):
     exp_y = 48 + 96 * sy
     assert face.mesh[474][0] == int(exp_x)
     assert face.mesh[474][1] == int(exp_y)
-    # iris circle equals MEC of the projected points
-    from depth_estimation_tpu.detect.circle import min_enclosing_circle
-
-    (cx, cy), r = min_enclosing_circle(face.mesh[det.LEFT_IRIS])
-    assert face.l_iris["center"] == (cx, cy)
-    assert face.l_iris["radius"] == r
+    # iris circle pinned analytically: projected iris points form the square
+    # (128,96),(130,96),(128,98),(130,98) -> center (129, 97), radius sqrt(2)
+    assert face.mesh[det.LEFT_IRIS].tolist() == [[128, 96], [130, 96], [128, 98], [130, 98]]
+    cx, cy = face.l_iris["center"]
+    assert abs(cx - 129.0) < 1e-6 and abs(cy - 97.0) < 1e-6
+    assert abs(face.l_iris["radius"] - np.sqrt(2.0)) < 1e-6

@@ -12,10 +12,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_native_synthetic_matches_python():
-    ns = native.NativeSource("synthetic:6x48x64")
-    ps = SyntheticSource(6, 48, 64)
-    assert (ns.width, ns.height, ns.frame_count) == (64, 48, 6.0)
+@pytest.mark.parametrize("n_frames", [6, 200])  # 200 wraps the depth-4 ring many times
+def test_native_synthetic_matches_python(n_frames):
+    ns = native.NativeSource(f"synthetic:{n_frames}x48x64")
+    ps = SyntheticSource(n_frames, 48, 64)
+    assert (ns.width, ns.height, ns.frame_count) == (64, 48, float(n_frames))
     n = 0
     while True:
         ok_n, fn_ = ns.read()
@@ -25,7 +26,7 @@ def test_native_synthetic_matches_python():
             break
         np.testing.assert_array_equal(fn_, fp_)
         n += 1
-    assert n == 6
+    assert n == n_frames
     ns.release()
 
 
@@ -100,18 +101,3 @@ def test_open_source_prefers_native():
     assert isinstance(s2, SyntheticSource)
 
 
-def test_prefetch_and_native_stress_order():
-    """200 frames through the native ring with a fast consumer: exact order."""
-    ns = native.NativeSource("synthetic:200x32x48", ring_depth=4)
-    ref = SyntheticSource(200, 32, 48)
-    n = 0
-    while True:
-        ok, f = ns.read()
-        ok2, g = ref.read()
-        assert ok == ok2
-        if not ok:
-            break
-        np.testing.assert_array_equal(f, g)
-        n += 1
-    assert n == 200
-    ns.release()
