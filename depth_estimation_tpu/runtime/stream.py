@@ -174,8 +174,12 @@ class FusedVidStream:
                     self.detector.findIris(self.frame)
             depth_frame = np.asarray(depth_dev)
 
-            self.face.get_depth(depth_frame)
-            self.face.rel2abs()
+            # sampling falls back to stored body head points when no mesh;
+            # on the very first frames neither may exist yet (the reference
+            # would crash on a face-less first frame, face.py:112)
+            if self.face.mesh is not None or self.face.head_pts is not None:
+                self.face.get_depth(depth_frame)
+                self.face.rel2abs()
             if self.log.enabled:
                 self.log.log(
                     "frame",
@@ -222,7 +226,10 @@ class FusedVidStream:
         self._put_text(self.frame, "Face not detected. Using body pose estimates.", (70, 50), (255, 0, 0))
         with self.timer.stage("body"):
             self.frame, head_pts = self.detector.findBody(self.frame)
-        if head_pts and len(head_pts) >= 2:
+        # get_headw scales by the iris radius (face.py:88) — only available
+        # once a face has been seen at least once; the reference crashes on a
+        # never-detected face here, we skip the measurement instead
+        if head_pts and len(head_pts) >= 2 and (self.face.l_iris["radius"] or 0) > 0:
             self.face.get_headw(head_pts[0], head_pts[1])
             self.face.s2c_dist(median(self.face.head_measurements), self.face.head_w)
             self._put_text(self.frame, f"S2C dist (ft): {self.face.s2c_d}", (50, 150), (0, 255, 0))
