@@ -140,3 +140,42 @@ def test_triangle_free_functions():
     assert triangle.cm_to_ft(30.48) == 1.0
     assert triangle.in_to_mm(20) == 508.0
     assert triangle.diameter(11.5) == 23
+
+
+# -- property tests (SURVEY.md §4: round-trip converters, lstsq recovery) -----
+
+def test_unit_converter_roundtrips(rng):
+    f = FaceDet(20, list(CARD))
+    for v in rng.random(50) * 1000:
+        # mm -> cm -> mm is exact scaling
+        assert math.isclose(f.mm2cm(v) * 10, v)
+        # inches -> mm uses the exact 25.4 factor (rounded to 2 decimals)
+        assert abs(f.in_to_mm(v) - v * 25.4) <= 0.005 + 1e-9
+        # cm -> ft inverse within rounding resolution
+        assert abs(f.cm_to_ft(v) * 2.54 * 12 - v) <= 0.005 * 2.54 * 12 + 1e-9
+
+
+def test_rel2abs_2_recovers_exact_line(rng):
+    f = FaceDet(20, list(CARD))
+    m_true, b_true = 321.5, -7.25
+    gt = (rng.random(40) * 400 + 20).tolist()
+    pred = [m_true / g + b_true for g in gt]
+    f.ri_depth = pred[0]
+    f.rel2abs_2(pred, gt)
+    assert math.isclose(f.m, m_true, rel_tol=1e-9)
+    assert math.isclose(f.b, b_true, rel_tol=1e-6)
+
+
+def test_config_constants_match_reference_source():
+    """The config defaults must literally match the reference constants."""
+    from depth_estimation_tpu import config as C
+
+    ref_face = open(REF_FACE).read()
+    assert f"self.w_card = {C.CREDIT_CARD_WIDTH_MM}" in ref_face
+    assert f"self.w_iris = {C.IRIS_DIAMETER_MM}" in ref_face
+    ref_det = open("/root/reference/detectors.py").read()
+    assert f"self.CARD = {list(C.CARD)}" in ref_det
+    assert f"self.LEFT_IRIS = {list(C.LEFT_IRIS)}" in ref_det
+    assert f"self.HEAD = {list(C.HEAD)}" in ref_det
+    ref_dbd = open("/root/reference/depth_by_detection.py").read()
+    assert f"w_object={C.CARD_WIDTH_MM_DETECTION_PIPELINE}" in ref_dbd
