@@ -55,3 +55,17 @@ def test_preprocess_batched(rng):
     assert out.shape[0] == 3
     one = np.asarray(preprocess(imgs[1], SMALL_PREPROCESS))
     np.testing.assert_allclose(out[1], one[0], atol=1e-6)
+
+
+def test_transforms_shim_matches_preprocess(rng):
+    """The torch.hub-style transforms shim equals preprocess on RGB input."""
+    from depth_estimation_tpu import transforms
+
+    rgb_u8 = rng.integers(0, 256, (480, 640, 3), np.uint8)
+    out = np.asarray(transforms.dpt_transform(rgb_u8))
+    ref = np.asarray(preprocess(rgb_u8, DPT_PREPROCESS, bgr_to_rgb=False))
+    np.testing.assert_array_equal(out, ref)
+    # float [0,1] input path
+    out_f = np.asarray(transforms.small_transform(rgb_u8.astype(np.float32) / 255.0))
+    ref_f = np.asarray(preprocess(rgb_u8, SMALL_PREPROCESS, bgr_to_rgb=False))
+    np.testing.assert_allclose(out_f, ref_f, atol=1e-5)
