@@ -46,11 +46,19 @@ class DepthEstimator:
         seed: int = 0,
         verbose: bool = True,
         dtype: str = "float32",
+        matmul_precision: Optional[str] = None,
     ):
         """dtype: 'float32' (default; numeric parity with the reference) or
         'bfloat16' (the MXU fast path — params and activations in bf16,
-        depth output back in f32)."""
+        depth output back in f32).
+
+        matmul_precision: conv/matmul precision inside the frame program.
+        Defaults to 'high' (bf16_3x passes) for float32 — measured 2.2e-4
+        max abs-rel vs the torch oracle on a real v5e, inside the 1e-3
+        accuracy gate, where the TPU's 'default' (single bf16 pass) fails at
+        1.3e-2 — and 'default' for bfloat16."""
         self.model_type = model_type
+        self.matmul_precision = matmul_precision or ("high" if dtype == "float32" else "default")
         if verbose:
             print(f"Loading model: {self.model_type}")  # reference: depth_midas.py:9
         self.entry = get_entry(model_type)
@@ -92,18 +100,20 @@ class DepthEstimator:
         std = jnp.asarray(cfg.std, jnp.float32)
         model = self.model
         dtype = self.dtype
+        precision = self.matmul_precision
 
         @jax.jit
         def frame_fn(params, img_u8):
-            x = img_u8[..., ::-1] if bgr else img_u8
-            x = x.astype(jnp.float32) / 255.0
-            x = resize2d(x, net_hw, method="cubic", align_corners=False)
-            x = ((x - mean) / std).astype(dtype)
-            pred = model.apply(params, x[None]).astype(jnp.float32)  # (1, h, w)
-            # reference upsamples the prediction back to the source resolution
-            # with bicubic align_corners=False (depth_midas.py:28-33)
-            pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
-            return pred
+            with jax.default_matmul_precision(precision):
+                x = img_u8[..., ::-1] if bgr else img_u8
+                x = x.astype(jnp.float32) / 255.0
+                x = resize2d(x, net_hw, method="cubic", align_corners=False)
+                x = ((x - mean) / std).astype(dtype)
+                pred = model.apply(params, x[None]).astype(jnp.float32)  # (1, h, w)
+                # reference upsamples the prediction back to the source
+                # resolution with bicubic align_corners=False (depth_midas.py:28-33)
+                pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
+                return pred
 
         return frame_fn
 
@@ -165,14 +175,16 @@ class DepthEstimator:
         std = jnp.asarray(cfg.std, jnp.float32)
         model = self.model
         dtype = self.dtype
+        precision = self.matmul_precision
 
         @jax.jit
         def batch_fn(params, imgs_u8):
-            x = imgs_u8[..., ::-1].astype(jnp.float32) / 255.0
-            x = resize2d(x, net_hw, method="cubic", align_corners=False)
-            x = ((x - mean) / std).astype(dtype)
-            pred = model.apply(params, x).astype(jnp.float32)  # (B, h, w)
-            up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
-            return up[..., 0]
+            with jax.default_matmul_precision(precision):
+                x = imgs_u8[..., ::-1].astype(jnp.float32) / 255.0
+                x = resize2d(x, net_hw, method="cubic", align_corners=False)
+                x = ((x - mean) / std).astype(dtype)
+                pred = model.apply(params, x).astype(jnp.float32)  # (B, h, w)
+                up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
+                return up[..., 0]
 
         return batch_fn

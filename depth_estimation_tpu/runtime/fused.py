@@ -45,8 +45,11 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
     thresh = detector.minDetectionCon
 
+    precision = getattr(estimator, "matmul_precision", "high")
+
     @jax.jit
     def fused(depth_params, face_params, img_u8):
+      with jax.default_matmul_precision(precision):
         rgb = img_u8[..., ::-1].astype(jnp.float32) / 255.0
 
         # depth branch
@@ -61,7 +64,7 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
         boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
         scores = decode_scores(raw_scores[0])
         boxes, scores, valid = weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=thresh)
-        return depth, boxes, scores, valid
+        return depth, boxes, scores, valid  # noqa: E501  (indented under precision ctx)
 
     return fused
 
