@@ -55,8 +55,17 @@ def frame0(h, w):
     return SyntheticSource(1, h, w).read()[1]
 
 
-def onchip_ms_per_frame(est, img_u8, n1=2, n2=12, repeats=3):
-    """Slope method: jitted fori_loop over the full frame program."""
+def onchip_ms_per_frame(est, img_u8, n1=8, n2=24, repeats=2):
+    """Slope method: jitted fori_loop over the full frame program at two
+    iteration counts, differenced.
+
+    Two tunnel defenses (both necessary — see CLAUDE.md):
+    * every timed invocation gets a fresh ``salt`` argument, because the
+      remote executor memoizes (executable, inputs) pairs and would return
+      a repeat invocation instantly;
+    * n1/n2 are large enough that both runs are compute-dominated, and the
+      difference cancels the ~100 ms per-dispatch latency.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -69,37 +78,42 @@ def onchip_ms_per_frame(est, img_u8, n1=2, n2=12, repeats=3):
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
     model, dtype = est.model, est.dtype
+    precision = getattr(est, "matmul_precision", "high")
 
     def make_loop(n):
         @jax.jit
-        def loop(params, img):
-            def body(i, acc):
-                # perturb the frame per step so nothing folds/caches
-                x = (img + (i % 7).astype(jnp.uint8))[..., ::-1]
-                x = x.astype(jnp.float32) / 255.0
-                x = resize2d(x, net_hw, method="cubic", align_corners=False)
-                x = ((x - mean) / std).astype(dtype)
-                pred = model.apply(params, x[None]).astype(jnp.float32)
-                pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
-                return acc + pred.mean()
+        def loop(params, img, salt):
+            with jax.default_matmul_precision(precision):
+                def body(i, acc):
+                    # perturb the frame per step AND per invocation
+                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
+                    x = (img + off)[..., ::-1]
+                    x = x.astype(jnp.float32) / 255.0
+                    x = resize2d(x, net_hw, method="cubic", align_corners=False)
+                    x = ((x - mean) / std).astype(dtype)
+                    pred = model.apply(params, x[None]).astype(jnp.float32)
+                    pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
+                    return acc + pred.mean()
 
-            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
         return loop
 
     img = jnp.asarray(img_u8)
-    loops = {n: make_loop(n) for n in (n1, n2)}
-    # min over repeats of each t(n) independently filters tunnel stalls,
-    # which are additive positive noise
+    salt_counter = [0]
+
+    def timed(loop):
+        salt_counter[0] += 1
+        salt = jnp.float32(salt_counter[0])
+        t0 = time.perf_counter()
+        float(loop(est.params, img, salt))
+        return time.perf_counter() - t0
+
     mins = {}
-    for n, loop in loops.items():
-        float(loop(est.params, img))  # compile + warm
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(loop(est.params, img))
-            ts.append(time.perf_counter() - t0)
-        mins[n] = min(ts)
+    for n in (n1, n2):
+        loop = make_loop(n)
+        timed(loop)  # compile + warm (uncounted)
+        mins[n] = min(timed(loop) for _ in range(repeats))
     per = (mins[n2] - mins[n1]) / (n2 - n1)
     return max(per, 1e-6) * 1e3
 

@@ -42,11 +42,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
 
+    # pin the dot precision: Mosaic can't lower an ambient
+    # default_matmul_precision('high') context (f32 accumulation is already
+    # forced via preferred_element_type)
+    dot_prec = jax.lax.Precision.DEFAULT
+
     def body(i, carry):
         m, l, acc = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32, precision=dot_prec)  # (bq, bk)
         # mask keys beyond the true sequence length
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -54,7 +59,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32, precision=dot_prec)
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
