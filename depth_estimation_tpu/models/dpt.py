@@ -39,10 +39,12 @@ class DPTConfig:
     img_size: int = 384
     non_negative: bool = True
     # A/B on a real v5e: XLA's fused attention beats the Pallas flash kernel
-    # at the 577-token ViT length (6.9 vs 10.1 ms/frame full-model) — flash
-    # attention's memory savings buy nothing this short. The Pallas kernel
-    # remains available for long-sequence configs.
+    # at the 577-token ViT length — flash attention's memory savings buy
+    # nothing this short. The Pallas kernel remains for long sequences.
     use_pallas: bool = False
+    # Precision of the transformer matmuls (None -> ambient
+    # default_matmul_precision, i.e. the estimator's gate-passing 'high').
+    dot_precision: object = None
 
 
 DPT_LARGE = DPTConfig()
@@ -86,6 +88,7 @@ class DPT(nn.Module):
                 img_size=cfg.img_size,
                 hooks=tuple(h for h in cfg.hooks if h >= 2),
                 use_pallas=cfg.use_pallas,
+                dot_precision=cfg.dot_precision,
                 name="vit",
             )(x, patches=nn.Conv(C, (1, 1), padding="VALID", name="patch_embed")(stem_feats))
             layers = [stage_outs[0], stage_outs[1]]  # stride 4 / 8 conv features
@@ -98,6 +101,7 @@ class DPT(nn.Module):
                 img_size=cfg.img_size,
                 hooks=cfg.hooks,
                 use_pallas=cfg.use_pallas,
+                dot_precision=cfg.dot_precision,
                 name="vit",
             )(x)
             layers = []

@@ -29,29 +29,31 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     use_pallas: bool = True
+    dot_precision: object = None  # None -> ambient default_matmul_precision
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
-        qkv = nn.Dense(3 * C, name="qkv")(x)  # (B, N, 3C)
+        qkv = nn.Dense(3 * C, name="qkv", precision=self.dot_precision)(x)  # (B, N, 3C)
         qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = multi_head_attention(q, k, v, use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, name="proj", precision=self.dot_precision)(out)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
+    dot_precision: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, name="fc1", precision=self.dot_precision)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, name="fc2", precision=self.dot_precision)(x)
         return x
 
 
@@ -60,13 +62,15 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: int = 4
     use_pallas: bool = True
+    dot_precision: object = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, use_pallas=self.use_pallas, name="attn")(h)
+        x = x + Attention(self.dim, self.num_heads, use_pallas=self.use_pallas,
+                          dot_precision=self.dot_precision, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, name="mlp")(h)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, dot_precision=self.dot_precision, name="mlp")(h)
         return x
 
 
@@ -93,6 +97,7 @@ class ViT(nn.Module):
     img_size: int = 384  # pos-embed native grid = img_size // patch_size
     hooks: Tuple[int, ...] = (5, 11, 17, 23)
     use_pallas: bool = True
+    dot_precision: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, patches: Optional[jnp.ndarray] = None):
@@ -120,7 +125,8 @@ class ViT(nn.Module):
 
         hooked = {}
         for i in range(self.depth):
-            tokens = Block(self.embed_dim, self.num_heads, use_pallas=self.use_pallas, name=f"blocks_{i}")(tokens)
+            tokens = Block(self.embed_dim, self.num_heads, use_pallas=self.use_pallas,
+                           dot_precision=self.dot_precision, name=f"blocks_{i}")(tokens)
             if i in self.hooks:
                 hooked[i] = tokens
         return [hooked[i] for i in self.hooks], (gh, gw)
