@@ -58,13 +58,15 @@ class DepthEstimator:
         accuracy gate, where the TPU's 'default' (single bf16 pass) fails at
         1.3e-2 — and 'default' for bfloat16."""
         self.model_type = model_type
-        self.matmul_precision = matmul_precision or ("high" if dtype == "float32" else "default")
         if verbose:
             print(f"Loading model: {self.model_type}")  # reference: depth_midas.py:9
         self.entry = get_entry(model_type)
         self.model = self.entry.make_model()
         self.preprocess_cfg = self.entry.preprocess
         self.dtype = jnp.dtype(dtype)
+        self.matmul_precision = matmul_precision or (
+            self.entry.f32_precision if dtype == "float32" else "default"
+        )
 
         if params is None:
             params = ckpt.load_params(model_type)

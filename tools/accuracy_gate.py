@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Accuracy gate: measure max abs-rel error vs the torch oracles on the
+current JAX backend (run on the TPU for the numbers that matter).
+
+Without network access the oracles use full-scale random weights in the
+authentic hub format — a conservative proxy that exercises every layer at
+real dimensions. With real hub checkpoints imported (tools/import_weights),
+pass --model-cache to gate the actual weights instead.
+
+Usage: python tools/accuracy_gate.py [--threshold 1e-3]
+"""
+
+import argparse
+import sys
+import time
+import warnings
+
+import numpy as np
+
+
+def gate_midas_small(threshold):
+    import jax
+    import torch
+
+    sys.path.insert(0, ".")
+    from depth_estimation_tpu.models.midas_small import MidasSmall
+    from depth_estimation_tpu.utils.convert import convert_midas_small
+    from tests.oracles import midas_small_torch as oracle
+
+    from depth_estimation_tpu.registry import get_entry
+
+    prec = get_entry("MiDaS_small").f32_precision
+    sd = oracle.make_random_state_dict(seed=11)
+    params = {"params": convert_midas_small({k: v.numpy() for k, v in sd.items()})}
+    x = np.random.default_rng(0).standard_normal((1, 256, 256, 3)).astype(np.float32) * 0.5
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    m = MidasSmall()
+
+    @jax.jit
+    def fwd(p, x):
+        with jax.default_matmul_precision(prec):
+            return m.apply(p, x)
+
+    out = np.asarray(fwd(params, x))
+    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+
+
+def gate_dpt(cfg_name, threshold):
+    import jax
+    import torch
+
+    from depth_estimation_tpu.models.dpt import DPT, DPT_HYBRID, DPT_LARGE
+    from depth_estimation_tpu.utils.convert import convert_dpt
+    from tests.oracles import dpt_torch as oracle
+
+    from depth_estimation_tpu.registry import get_entry
+
+    prec = get_entry(cfg_name).f32_precision
+    cfg = DPT_LARGE if cfg_name == "DPT_Large" else DPT_HYBRID
+    sd = oracle.make_random_state_dict(cfg, seed=5)
+    params = {"params": convert_dpt({k: v.numpy() for k, v in sd.items()}, cfg)}
+    x = np.random.default_rng(0).standard_normal((1, 384, 384, 3)).astype(np.float32) * 0.5
+    fwd_t = oracle.forward_hybrid if cfg.hybrid else oracle.forward
+    ref = fwd_t(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), cfg).numpy()
+    m = DPT(cfg)
+
+    @jax.jit
+    def fwd(p, x):
+        with jax.default_matmul_precision(prec):
+            return m.apply(p, x)
+
+    out = np.asarray(fwd(params, x))
+    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=1e-3)
+    ap.add_argument("--models", nargs="*", default=["MiDaS_small", "DPT_Large", "DPT_Hybrid"])
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    ok = True
+    for name in args.models:
+        t0 = time.time()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if name == "MiDaS_small":
+                err = gate_midas_small(args.threshold)
+            else:
+                err = gate_dpt(name, args.threshold)
+        status = "PASS" if err < args.threshold else "FAIL"
+        ok &= err < args.threshold
+        print(f"{name}: max abs-rel {err:.2e} vs torch oracle -> {status} ({time.time()-t0:.0f}s)")
+    print("GATE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
