@@ -150,7 +150,11 @@ def make_frames(n, h, w):
 
 
 def cpu_baseline(model_type, h, w, cpu_frames=2):
-    key = f"{model_type}_{h}x{w}_cpu_fps"
+    # host fingerprint in the key: the cache is gitignored AND per-machine,
+    # so a copied cache file can never pin another host's CPU reference
+    import platform as _pf
+
+    key = f"{model_type}_{h}x{w}_cpu_fps@{_pf.node()}-{os.cpu_count()}cpu"
     if CACHE.exists():
         cache = json.loads(CACHE.read_text())
         if key in cache:

@@ -24,7 +24,6 @@ TPU-first differences from the reference implementation:
 
 from __future__ import annotations
 
-import functools
 import warnings
 from typing import Dict, Optional, Tuple
 
@@ -89,7 +88,7 @@ class DepthEstimator:
             self.params = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, self.dtype), self.params
             )
-        self._fn_cache: Dict[Tuple[int, int, bool], object] = {}
+        self._fn_cache: Dict[Tuple, object] = {}
 
     # -- fused frame function ----------------------------------------------
 
@@ -160,17 +159,28 @@ class DepthEstimator:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        key = id(mesh)
-        cached = getattr(self, "_mesh_params", {})
-        if key not in cached:
-            cached[key] = jax.device_put(self.params, NamedSharding(mesh, P()))
-            self._mesh_params = cached
+        # keyed by the Mesh object itself (hashable) — id() can be reused
+        # after a mesh is garbage-collected, serving stale placements
+        cached = getattr(self, "_mesh_params", None)
+        if cached is None:
+            cached = self._mesh_params = {}
+        if mesh not in cached:
+            cached[mesh] = jax.device_put(self.params, NamedSharding(mesh, P()))
         fn = self._batched_fn(imgs.shape[1:3])
         imgs_sharded = jax.device_put(imgs, NamedSharding(mesh, P("dp")))
-        return np.asarray(fn(cached[key], imgs_sharded))
+        return np.asarray(fn(cached[mesh], imgs_sharded))
 
-    @functools.lru_cache(maxsize=32)
     def _batched_fn(self, in_hw: Tuple[int, int]):
+        # cached per instance (lru_cache on a method would pin `self` — and
+        # its full param tree — in a class-level cache for the process life)
+        key = ("batched", int(in_hw[0]), int(in_hw[1]))
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._make_batched_fn((int(in_hw[0]), int(in_hw[1])))
+            self._fn_cache[key] = fn
+        return fn
+
+    def _make_batched_fn(self, in_hw: Tuple[int, int]):
         cfg = self.preprocess_cfg
         net_hw = compute_resize_shape(*in_hw, cfg)
         mean = jnp.asarray(cfg.mean, jnp.float32)

@@ -16,6 +16,7 @@
 // Build: make (links system OpenCV 4).
 
 #include <opencv2/videoio.hpp>
+#include <opencv2/imgproc.hpp>
 #include <opencv2/core.hpp>
 
 #include <atomic>
@@ -53,9 +54,26 @@ struct VideoSource : Source {
   bool read(unsigned char* dst) override {
     cv::Mat frame;
     if (!cap.read(frame) || frame.empty()) return false;
-    if (frame.cols != width || frame.rows != height || frame.type() != CV_8UC3) {
+    // Normalize to the slot contract (height x width, CV_8UC3). convertTo
+    // only changes element type, never dimensions or channel count, so each
+    // mismatch gets its own fix — a frame whose decoded dimensions differ
+    // from the capture metadata (bad container header, mid-stream resolution
+    // change) must be resized or the memcpy below reads out of bounds.
+    if (frame.channels() == 1) {
+      cv::cvtColor(frame, frame, cv::COLOR_GRAY2BGR);
+    } else if (frame.channels() == 4) {
+      cv::cvtColor(frame, frame, cv::COLOR_BGRA2BGR);
+    } else if (frame.channels() != 3) {
+      return false;
+    }
+    if (frame.depth() != CV_8U) {
       cv::Mat tmp;
       frame.convertTo(tmp, CV_8UC3);
+      frame = tmp;
+    }
+    if (frame.cols != width || frame.rows != height) {
+      cv::Mat tmp;
+      cv::resize(frame, tmp, cv::Size(width, height), 0, 0, cv::INTER_LINEAR);
       frame = tmp;
     }
     if (frame.isContinuous()) {

@@ -137,19 +137,32 @@ class PrefetchSource(FrameSource):
         self.frame_count = inner.frame_count
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = False
+        self._stop = False
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
     def _pump(self):
-        while True:
+        while not self._stop:
             ok, frame = self.inner.read()
             if not ok:
-                self._q.put(self._EOF)
+                self._put(self._EOF)
                 return
-            self._q.put(frame)
+            if not self._put(frame):
+                return
+
+    def _put(self, item) -> bool:
+        # bounded put that gives up once release() raises the stop flag, so
+        # the pump thread can never block forever on a full queue
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def read(self):
-        if self._done:
+        if self._done or self._stop:
             return False, None
         item = self._q.get()
         if item is self._EOF:
@@ -161,6 +174,17 @@ class PrefetchSource(FrameSource):
         return self.inner.is_opened()
 
     def release(self):
+        # stop the pump (and drain stale buffered frames) BEFORE releasing
+        # the inner source, so the thread can't read a released source and a
+        # later read() can't return a stale frame
+        self._stop = True
+        self._done = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
         self.inner.release()
 
 
