@@ -28,6 +28,7 @@ from depth_estimation_tpu.runtime.timing import StageTimer
 from depth_estimation_tpu.runtime.video import (
     NullSink,
     PrefetchSource,
+    ResilientSource,
     needs_prefetch,
     open_sink,
     open_source,
@@ -38,12 +39,13 @@ class VidStream:
     """Depth-only stream (reference: depth_midas.py:38-85)."""
 
     def __init__(self, estimator, src=None, output=None, prefetch: bool = True,
-                 verbose: bool = True, start_frame: int = 0):
+                 verbose: bool = True, start_frame: int = 0, retries: int = 2):
         """start_frame: skip the first N frames before processing —
-        deterministic resume of an interrupted stream (SURVEY.md §5)."""
+        deterministic resume of an interrupted stream (SURVEY.md §5).
+        retries: decode-failure retry budget per frame (ResilientSource)."""
         self.estimator = estimator
-        self.video = open_source(src)
-        if prefetch and needs_prefetch(self.video):
+        self.video = ResilientSource(open_source(src), retries=retries)
+        if prefetch and needs_prefetch(self.video.inner):
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
         self.FPS = 1 / 30  # reference constant, unused for pacing (depth_midas.py:45)
@@ -86,10 +88,14 @@ class VidStream:
             pending = arr
         if pending is not None:
             self._write(pending)
+        dropped = getattr(self.video, "frames_dropped", 0)
+        if dropped and self.verbose:
+            print(f"Dropped {dropped} undecodable frames.")
         self.video.release()
         self.writer.release()
         if self.log.enabled:
-            self.log.log("stream_end", frames=self.cnt, **self.timer.summary())
+            self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
+                         **self.timer.summary())
             self.log.close()
 
     def _write(self, device_pred):
@@ -106,14 +112,16 @@ class FusedVidStream:
     """Fused iris/pose + depth stream (reference: midas_mediapipe.py:11-159)."""
 
     def __init__(self, estimator, detector, face, src=None, output=None,
-                 verbose: bool = True, fused: bool = True, start_frame: int = 0):
+                 verbose: bool = True, fused: bool = True, start_frame: int = 0,
+                 retries: int = 2):
         """fused=True computes depth + face detection in ONE XLA dispatch per
-        frame (runtime/fused.py); the mesh stage runs only on detection hits."""
+        frame (runtime/fused.py); the mesh stage runs only on detection hits.
+        retries: decode-failure retry budget per frame (ResilientSource)."""
         self.detector = detector
         self.estimator = estimator
         self.face = face
-        self.video = open_source(src)
-        if needs_prefetch(self.video):
+        self.video = ResilientSource(open_source(src), retries=retries)
+        if needs_prefetch(self.video.inner):
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
         self._fused_runner = None
@@ -196,6 +204,12 @@ class FusedVidStream:
                 self._iris_path(depth_frame)
             else:
                 self._body_path(depth_frame)
+        dropped = getattr(self.video, "frames_dropped", 0)
+        if dropped and self.verbose:
+            print(f"Dropped {dropped} undecodable frames.")
+        if self.log.enabled:
+            self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
+                         **self.timer.summary())
         self.video.release()
         self.writer.release()
 

@@ -173,6 +173,10 @@ class PrefetchSource(FrameSource):
     def is_opened(self):
         return self.inner.is_opened()
 
+    @property
+    def frames_dropped(self) -> int:
+        return getattr(self.inner, "frames_dropped", 0)
+
     def release(self):
         # stop the pump (and drain stale buffered frames) BEFORE releasing
         # the inner source, so the thread can't read a released source and a
@@ -185,6 +189,67 @@ class PrefetchSource(FrameSource):
         except queue.Empty:
             pass
         self._thread.join(timeout=2.0)
+        self.inner.release()
+
+
+class ResilientSource(FrameSource):
+    """Decode-failure skip/retry policy (SURVEY.md §5 failure-detection row).
+
+    The reference treats ANY failed read as end-of-stream (depth_midas.py:57-58
+    just re-prints an error). Here a read that raises, or that fails while the
+    source still reports frames remaining, is retried ``retries`` times, then
+    counted as a *dropped* frame and skipped; the stream only ends on a true
+    EOF (frame budget exhausted / unknown-length source returning a clean
+    False) or after ``max_consecutive_drops`` consecutive drops (a dead
+    decoder). ``frames_dropped`` surfaces in stream summaries and JsonLogger.
+    """
+
+    def __init__(self, inner: FrameSource, retries: int = 2,
+                 max_consecutive_drops: int = 5):
+        self.inner = inner
+        self.width = inner.width
+        self.height = inner.height
+        self.frame_count = inner.frame_count
+        self.retries = int(retries)
+        self.max_consecutive_drops = int(max_consecutive_drops)
+        self.frames_dropped = 0
+        self._frames_read = 0
+        self._consecutive_drops = 0
+
+    def _expect_more(self) -> bool:
+        n = self.frame_count
+        return bool(n and n > 0 and (self._frames_read + self.frames_dropped) < n)
+
+    def read(self):
+        clean_false = 0
+        while True:
+            try:
+                ok, frame = self.inner.read()
+            except Exception:
+                # the decoder consumed (and lost) a frame: skip-and-count,
+                # give up only after a run of consecutive losses (dead decoder)
+                self.frames_dropped += 1
+                self._consecutive_drops += 1
+                if self._consecutive_drops > self.max_consecutive_drops:
+                    return False, None
+                continue
+            if ok:
+                self._consecutive_drops = 0
+                self._frames_read += 1
+                return True, frame
+            # clean False: EOF for the reference's sources — but if the
+            # container metadata says frames remain, retry a bounded number
+            # of times before trusting it (cv2 returns False for a corrupt
+            # frame exactly as it does for EOF)
+            if clean_false >= self.retries or not self._expect_more():
+                return False, None
+            clean_false += 1
+            self.frames_dropped += 1
+
+    def is_opened(self):
+        return self.inner.is_opened()
+
+    def release(self):
         self.inner.release()
 
 

@@ -176,6 +176,67 @@ def test_debug_mode_guards(estimator, rng, monkeypatch):
         estimator.predict(bad)
 
 
+class _FlakySource(SyntheticSource):
+    """Fault injection: read() raises at the given frame indices (the decoder
+    consumes and loses those frames), mimicking a corrupt-packet decode."""
+
+    def __init__(self, n, h, w, fail_at=()):
+        super().__init__(n, h, w)
+        self.fail_at = set(fail_at)
+
+    def read(self):
+        idx = self._i
+        ok, frame = super().read()
+        if ok and idx in self.fail_at:
+            raise RuntimeError(f"injected decode failure at frame {idx}")
+        return ok, frame
+
+
+def test_resilient_source_skips_and_counts_drops():
+    from depth_estimation_tpu.runtime.video import ResilientSource
+
+    src = ResilientSource(_FlakySource(10, 32, 48, fail_at=(3, 4, 7)))
+    got = []
+    while True:
+        ok, f = src.read()
+        if not ok:
+            break
+        got.append(f)
+    assert len(got) == 7  # 10 frames minus 3 injected losses
+    assert src.frames_dropped == 3
+
+
+def test_resilient_source_dead_decoder_gives_up():
+    from depth_estimation_tpu.runtime.video import ResilientSource
+
+    src = ResilientSource(
+        _FlakySource(100, 32, 48, fail_at=range(2, 100)), max_consecutive_drops=5
+    )
+    got = []
+    while True:
+        ok, f = src.read()
+        if not ok:
+            break
+        got.append(f)
+    assert len(got) == 2  # survived the healthy prefix
+    assert src.frames_dropped == 6  # 5 consecutive allowed + the fatal one
+
+
+def test_vidstream_survives_decode_failures(estimator, capsys, monkeypatch, tmp_path):
+    log = tmp_path / "log.jsonl"
+    monkeypatch.setenv("DEPTH_TPU_LOG_JSON", str(log))
+    sink = NullSink()
+    vs = VidStream(estimator, _FlakySource(8, 120, 160, fail_at=(2, 5)), sink)
+    vs.update()
+    assert sink.frames_written == 6
+    assert "Dropped 2 undecodable frames." in capsys.readouterr().out
+    import json
+
+    end = [json.loads(l) for l in log.read_text().splitlines()][-1]
+    assert end["event"] == "stream_end"
+    assert end["frames_dropped"] == 2
+
+
 def test_json_logging(estimator, tmp_path, monkeypatch):
     log = tmp_path / "log.jsonl"
     monkeypatch.setenv("DEPTH_TPU_LOG_JSON", str(log))
