@@ -118,6 +118,60 @@ def onchip_ms_per_frame(est, img_u8, n1=8, n2=24, repeats=2):
     return max(per, 1e-6) * 1e3
 
 
+def onchip_batch_ms_per_image(est, imgs_u8, n1=4, n2=12, repeats=2):
+    """Slope-method timing of the BATCHED still-image program
+    (BASELINE.json config 2): (B, H, W, 3) uint8 → (B, H, W) f32 depth,
+    one XLA program, iterated in a salted fori_loop. Returns ms/image."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
+    from depth_estimation_tpu.ops.resize import resize2d
+
+    cfg = est.preprocess_cfg
+    in_hw = imgs_u8.shape[1:3]
+    B = imgs_u8.shape[0]
+    net_hw = compute_resize_shape(*in_hw, cfg)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    model, dtype = est.model, est.dtype
+    precision = getattr(est, "matmul_precision", "high")
+
+    def make_loop(n):
+        @jax.jit
+        def loop(params, imgs, salt):
+            with jax.default_matmul_precision(precision):
+                def body(i, acc):
+                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
+                    x = (imgs + off)[..., ::-1].astype(jnp.float32) / 255.0
+                    x = resize2d(x, net_hw, method="cubic", align_corners=False)
+                    x = ((x - mean) / std).astype(dtype)
+                    pred = model.apply(params, x).astype(jnp.float32)
+                    up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
+                    return acc + up.mean()
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    imgs = jnp.asarray(imgs_u8)
+    salt_counter = [0]
+
+    def timed(loop):
+        salt_counter[0] += 1
+        t0 = time.perf_counter()
+        float(loop(est.params, imgs, jnp.float32(salt_counter[0])))
+        return time.perf_counter() - t0
+
+    mins = {}
+    for n in (n1, n2):
+        loop = make_loop(n)
+        timed(loop)
+        mins[n] = min(timed(loop) for _ in range(repeats))
+    per_step = max((mins[n2] - mins[n1]) / (n2 - n1), 1e-6)
+    return per_step * 1e3 / B
+
+
 def e2e_numbers(est, frames):
     import jax
 
@@ -185,6 +239,9 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cpu-worker", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="measure the BATCHED still-image config at this "
+                         "batch size instead of the streaming config")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -203,6 +260,25 @@ def main():
             np.asarray(fn(est.params, f))
         fps = len(frames) / (time.perf_counter() - t0)
         print(json.dumps({"fps": fps}))
+        return
+
+    if args.batch:
+        est = build(args.model_type, args.dtype)
+        frames = make_frames(args.batch, args.height, args.width)
+        imgs = np.stack(frames[: args.batch])
+        ms_img = onchip_batch_ms_per_image(est, imgs)
+        imgs_per_s = 1e3 / ms_img
+        cpu_fps = None if args.skip_cpu else cpu_baseline(args.model_type, args.height, args.width)
+        print(json.dumps({
+            "metric": f"{args.model_type}_{args.height}x{args.width}_batch{args.batch}_imgs_per_s_per_chip",
+            "value": round(imgs_per_s, 2),
+            "unit": "images/s",
+            "vs_baseline": round(imgs_per_s / cpu_fps, 2) if cpu_fps else None,
+            "onchip_ms_per_image": round(ms_img, 3),
+            "dtype": args.dtype,
+            "batch": args.batch,
+            "cpu_reference_fps": round(cpu_fps, 4) if cpu_fps else None,
+        }))
         return
 
     est = build(args.model_type, args.dtype)

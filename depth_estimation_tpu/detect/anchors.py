@@ -26,7 +26,11 @@ class AnchorConfig:
 
 
 BLAZEFACE_FRONT = AnchorConfig()
-BLAZEPOSE_DETECTOR = AnchorConfig(input_size=224, heads=((28, 2), (14, 2), (7, 8)))
+# pose_detection_cpu.pbtxt SsdAnchorsCalculator: strides (8, 16, 32, 32, 32),
+# aspect 1.0 + interpolated scale → 2 anchors/cell at strides 8 and 16, and
+# 6/cell on the 7×7 grid the three stride-32 layers share:
+# 28²·2 + 14²·2 + 7²·6 = 2254 anchors
+BLAZEPOSE_DETECTOR = AnchorConfig(input_size=224, heads=((28, 2), (14, 2), (7, 6)))
 
 
 def build_anchors(cfg: AnchorConfig) -> np.ndarray:

@@ -44,12 +44,20 @@ from depth_estimation_tpu.detect.anchors import (
 from depth_estimation_tpu.detect.circle import min_enclosing_circle
 from depth_estimation_tpu.models.blazeface import BlazeFace
 from depth_estimation_tpu.models.blazepose import BlazePose, BlazePoseDetector
-from depth_estimation_tpu.models.facemesh import FaceMesh
+from depth_estimation_tpu.models.facemesh import FaceMeshWithIris
 from depth_estimation_tpu.ops.resize import resize2d
 
 
 def _init(model, shape, seed):
     return jax.jit(model.init)(jax.random.PRNGKey(seed), np.zeros(shape, np.float32))
+
+
+def _wrap(p):
+    """Converted TFLite trees are bare param dicts; apply() wants the
+    {'params': ...} collection wrapper."""
+    if p is None or "params" in p:
+        return p
+    return {"params": p}
 
 
 class PersonDetector:
@@ -77,15 +85,20 @@ class PersonDetector:
         self.body_mesh = None
         self.face = face
 
-        params = params or {}
+        if params is None:
+            # auto-load any converted TFLite weights from the cache dir
+            # (detect/weights.py); {} → deterministic random init
+            from depth_estimation_tpu.detect.weights import load_detector_params
+
+            params = load_detector_params()
         self._face_det = BlazeFace()
-        self._face_det_params = params.get("blazeface") or _init(self._face_det, (1, 128, 128, 3), seed)
-        self._mesh = FaceMesh()
-        self._mesh_params = params.get("facemesh") or _init(self._mesh, (1, 192, 192, 3), seed + 1)
+        self._face_det_params = _wrap(params.get("blazeface")) or _init(self._face_det, (1, 128, 128, 3), seed)
+        self._mesh = FaceMeshWithIris()
+        self._mesh_params = _wrap(params.get("facemesh")) or _init(self._mesh, (1, 192, 192, 3), seed + 1)
         self._pose_det = BlazePoseDetector()
-        self._pose_det_params = params.get("blazepose_detector") or _init(self._pose_det, (1, 224, 224, 3), seed + 2)
+        self._pose_det_params = _wrap(params.get("blazepose_detector")) or _init(self._pose_det, (1, 224, 224, 3), seed + 2)
         self._pose = BlazePose()
-        self._pose_params = params.get("blazepose") or _init(self._pose, (1, 256, 256, 3), seed + 3)
+        self._pose_params = _wrap(params.get("blazepose")) or _init(self._pose, (1, 256, 256, 3), seed + 3)
 
         self._face_anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
         self._pose_anchors = jnp.asarray(build_anchors(BLAZEPOSE_DETECTOR))

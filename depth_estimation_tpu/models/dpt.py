@@ -45,6 +45,12 @@ class DPTConfig:
     # Precision of the transformer matmuls (None -> ambient
     # default_matmul_precision, i.e. the estimator's gate-passing 'high').
     dot_precision: object = None
+    # Precision of everything AFTER the ViT trunk (readout/reassemble/
+    # fusion/head convs). None -> ambient. Split from dot_precision so the
+    # accuracy-vs-speed frontier can be explored per-section
+    # (tools/precision_bisect.py): the decoder's big fused convs run at
+    # high spatial resolution and dominate 'high'-precision cost.
+    decoder_precision: object = None
 
 
 DPT_LARGE = DPTConfig()
@@ -106,7 +112,23 @@ class DPT(nn.Module):
             )(x)
             layers = []
 
-        # Reassemble transformer hooks into spatial maps.
+        # Reassemble transformer hooks into spatial maps (and everything
+        # below) optionally at its own matmul precision.
+        import contextlib
+
+        import jax
+
+        dec_ctx = (
+            jax.default_matmul_precision(cfg.decoder_precision)
+            if cfg.decoder_precision is not None
+            else contextlib.nullcontext()
+        )
+        with dec_ctx:
+            return self._decode(x, hooked, layers, gh, gw)
+
+    def _decode(self, x, hooked, layers, gh, gw):
+        cfg = self.cfg
+        C = cfg.embed_dim
         spatial = []
         for idx, tokens in enumerate(hooked):
             i = idx + len(layers)  # position in the 4-level pyramid

@@ -101,6 +101,55 @@ class DepthwiseSeparable(nn.Module):
         return h
 
 
+class PReLU(nn.Module):
+    """Per-channel parametric ReLU — the activation of MediaPipe's landmark
+    TFLite graphs (FaceMesh / iris / pose ship PRELU ops with per-channel
+    alphas, unlike BlazeFace's plain ReLU). flax's built-in PReLU is a single
+    scalar, so this stores one alpha per channel like TFLite does."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (self.features,)
+        )
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class MPBlock(nn.Module):
+    """MediaPipe landmark-net residual block: 3×3 depthwise + 1×1 pointwise,
+    residual with max-pool (stride 2) and zero channel-pad, PReLU output.
+
+    This is the block the public FaceMesh/iris TFLite graphs are built from
+    (DEPTHWISE_CONV_2D → CONV_2D → ADD → PRELU op quadruple); BlazeBlock in
+    models/blazeface.py is the same shape with ReLU (the BlazeFace paper's
+    block). Channel counts/strides are per-model (models/facemesh.py).
+    """
+
+    out_features: int
+    strides: int = 1
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        h = nn.Conv(
+            in_f,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            feature_group_count=in_f,
+            name="conv_dw",
+        )(x)
+        h = nn.Conv(self.out_features, (1, 1), name="conv_pw")(h)
+        if self.strides == 2:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.out_features > in_f:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, self.out_features - in_f)))
+        return PReLU(self.out_features, name="act")(h + x)
+
+
 class InvertedResidual(nn.Module):
     """geffnet InvertedResidual (MBConv, no SE in lite variants):
     pw-expand 1x1+bn+act → dw kxk(s)+bn+act → pw-project 1x1+bn (+residual).

@@ -17,6 +17,44 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def crop_resize_bilinear(img: jnp.ndarray, box_xys: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Sample a square sub-window of ``img`` to a fixed output size.
+
+    img: (H, W, C); box_xys: (3,) = (x0, y0, side) in pixels (may be traced
+    values — the crop is gather-based, so the box can be dynamic inside
+    jit); out_hw: static (out_h, out_w). Half-pixel-centered bilinear (the
+    align_corners=False convention), clamped at the image border.
+
+    This is the ROI-extraction primitive of the landmark pipelines (eye
+    crops for iris refinement, person crops for pose) — MediaPipe does the
+    same with its ImageCroppingCalculator on the host; here it stays on
+    device inside the same XLA program as the nets.
+    """
+    h, w = img.shape[0], img.shape[1]
+    out_h, out_w = out_hw
+    x0, y0, side = box_xys[0], box_xys[1], box_xys[2]
+    sx = side / out_w
+    sy = side / out_h
+    xs = x0 + (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5  # (ow,)
+    ys = y0 + (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5  # (oh,)
+    xf = jnp.clip(jnp.floor(xs), 0, w - 1)
+    yf = jnp.clip(jnp.floor(ys), 0, h - 1)
+    tx = jnp.clip(xs - xf, 0.0, 1.0)
+    ty = jnp.clip(ys - yf, 0.0, 1.0)
+    xi = xf.astype(jnp.int32)
+    yi = yf.astype(jnp.int32)
+    xi1 = jnp.minimum(xi + 1, w - 1)
+    yi1 = jnp.minimum(yi + 1, h - 1)
+    # gather rows then columns (two 1-D gathers instead of a 2-D one)
+    top = img[yi]  # (oh, W, C)
+    bot = img[yi1]
+    tl, tr = top[:, xi], top[:, xi1]  # (oh, ow, C)
+    bl, br = bot[:, xi], bot[:, xi1]
+    txc = tx[None, :, None]
+    tyc = ty[:, None, None]
+    return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
+
+
 def depth_at_points(depth: jnp.ndarray, points_xy: jnp.ndarray, faithful: bool = False) -> jnp.ndarray:
     """depth: (H, W); points_xy: (N, 2) pixel (x, y). Returns (N,) samples.
 

@@ -269,3 +269,206 @@ def convert_dpt(sd: StateDict, cfg=None) -> Dict:
     for i in (0, 2, 4):
         params[f"output_conv_{i}"] = _conv(sd, f"scratch.output_conv.{i}")
     return params
+
+
+# -- TFLite → Flax structural conversion (MediaPipe detector stack) -----------
+#
+# The detector weights ship as .tflite flatbuffers (mediapipe 0.8.11, the
+# reference's requirements.txt:2). Tensor names in those files are generated
+# converter artifacts, so conversion keys on STRUCTURE instead: the operator
+# stream in execution order (utils/tflite.py::read_tflite_ops) is matched
+# against the Flax model's weight layers in TRUE execution order, captured
+# by tracing init under an nn.intercept_methods interceptor (param-dict
+# iteration order cannot be used — flax sorts keys alphabetically). Every
+# assignment is shape-checked after layout transposition, so importing a
+# real file either proves the architecture matches layer-for-layer or fails
+# with a precise diagnostic naming the first divergent layer.
+#
+# Layout rules:
+#   CONV_2D kernel             (O, H, W, I)  → HWIO  transpose (1, 2, 3, 0)
+#   DEPTHWISE_CONV_2D kernel   (1, H, W, C)  → (H, W, 1, C)  transpose (1, 2, 0, 3)
+#   FULLY_CONNECTED kernel     (out, in)     → (in, out)
+#   PRELU alpha                (..., C)      → (C,)
+
+_TFLITE_WEIGHT_OPS = {"CONV_2D", "DEPTHWISE_CONV_2D", "FULLY_CONNECTED", "PRELU"}
+
+
+def tflite_weight_layers(ops, consts) -> List[Tuple[str, Array, Array]]:
+    """[(kind, kernel/alpha, bias-or-None), ...] in execution order."""
+    out = []
+    for op in ops:
+        if op.op not in _TFLITE_WEIGHT_OPS:
+            continue
+        kernel = consts.get(op.inputs[1]) if len(op.inputs) > 1 else None
+        if kernel is None:
+            continue  # dynamic weights (never the case in these models)
+        bias = None
+        if op.op != "PRELU" and len(op.inputs) > 2 and op.inputs[2] >= 0:
+            bias = consts.get(op.inputs[2])
+        out.append((op.op, np.asarray(kernel), None if bias is None else np.asarray(bias)))
+    return out
+
+
+def flax_layer_order(model, input_shape) -> Tuple[List[Tuple[str, ...]], Dict]:
+    """(execution-ordered weight-layer paths, zero param template).
+
+    Order is captured by tracing ``model.init`` under shape evaluation with
+    an interceptor that records every Conv/Dense/PReLU call — the only
+    reliable source of graph order (flax param dicts are key-sorted).
+    """
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from depth_estimation_tpu.models.layers import PReLU
+
+    order: List[Tuple[str, ...]] = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        if context.method_name == "__call__" and isinstance(
+            context.module, (nn.Conv, nn.ConvTranspose, nn.Dense, PReLU)
+        ):
+            path = tuple(context.module.path)
+            if path not in order:
+                order.append(path)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros(input_shape, jnp.float32)
+        )
+    template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)[
+        "params"
+    ]
+    return order, template
+
+
+def _convert_layer(kind: str, kernel: Array, slot_kernel_shape) -> Array:
+    if kind == "CONV_2D":
+        k = kernel.transpose(1, 2, 3, 0)
+    elif kind == "DEPTHWISE_CONV_2D":
+        k = kernel.transpose(1, 2, 0, 3)
+        if k.shape != tuple(slot_kernel_shape) and k.shape[2] != 1:
+            # channel-multiplier layout variant
+            k = kernel.reshape(kernel.shape[1], kernel.shape[2], 1, -1)
+    elif kind == "FULLY_CONNECTED":
+        k = kernel.T
+    else:  # PRELU
+        k = kernel.reshape(-1)
+    return k
+
+
+def _slot_expected_kind(leaf) -> str:
+    if "alpha" in leaf:
+        return "PRELU"
+    ndim = np.ndim(leaf["kernel"])
+    return "FULLY_CONNECTED" if ndim == 2 else "CONV_2D"
+
+
+def assign_tflite_weights(ops, consts, model, input_shape, model_name: str = "?") -> Dict:
+    """Map a TFLite op stream onto ``model``'s param tree structurally.
+
+    For each weight layer (in true execution order, flax_layer_order) the
+    next compatible weight op is consumed; ops belonging to branches the
+    Flax model does not implement (e.g. the pose segmentation decoder) are
+    skipped. Any slot that cannot be filled raises with a diagnostic naming
+    the layer.
+    """
+    import jax
+
+    layers = tflite_weight_layers(ops, consts)
+    order, template = flax_layer_order(model, input_shape)
+    slots = []
+    for path in order:
+        node = template
+        for p in path:
+            node = node[p]
+        slots.append((path, node))
+    out = jax.tree_util.tree_map(np.asarray, template)
+    pos = 0
+    for path, leaf in slots:
+        want_kernel = np.asarray(leaf["kernel"] if "kernel" in leaf else leaf["alpha"])
+        found = None
+        for j in range(pos, len(layers)):
+            kind, kernel, bias = layers[j]
+            k = _convert_layer(kind, kernel, want_kernel.shape)
+            if k.shape == want_kernel.shape:
+                # depthwise slots must come from DEPTHWISE ops and vice versa
+                if ("alpha" in leaf) != (kind == "PRELU"):
+                    continue
+                found = (j, kind, k, bias)
+                break
+        if found is None:
+            raise ValueError(
+                f"{model_name}: no TFLite weight matches layer {'/'.join(path)} "
+                f"(expected shape {want_kernel.shape}, searched {len(layers)-pos} "
+                f"remaining ops from position {pos})"
+            )
+        j, kind, k, bias = found
+        pos = j + 1
+        node = out
+        for p in path[:-1]:
+            node = node[p]
+        leaf_name = path[-1]
+        if "alpha" in leaf:
+            node[leaf_name] = {"alpha": k.astype(np.float32)}
+        else:
+            new = {"kernel": k.astype(np.float32)}
+            if "bias" in leaf:
+                if bias is None:
+                    raise ValueError(f"{model_name}: layer {'/'.join(path)} expects a bias, TFLite op has none")
+                if bias.shape != np.asarray(leaf["bias"]).shape:
+                    raise ValueError(
+                        f"{model_name}: bias shape mismatch at {'/'.join(path)}: "
+                        f"{bias.shape} vs {np.asarray(leaf['bias']).shape}"
+                    )
+                new["bias"] = bias.astype(np.float32)
+            node[leaf_name] = new
+    return out
+
+
+def _read_ops(path: str):
+    from depth_estimation_tpu.utils.tflite import read_tflite_ops
+
+    return read_tflite_ops(path)
+
+
+def convert_blazeface_tflite(path: str) -> Dict:
+    """face_detection_short_range.tflite → BlazeFace params."""
+    from depth_estimation_tpu.models.blazeface import BlazeFace
+
+    ops, consts, _ = _read_ops(path)
+    return assign_tflite_weights(ops, consts, BlazeFace(), (1, 128, 128, 3), "BlazeFace")
+
+
+def convert_facemesh_tflite(face_path: str, iris_path: str) -> Dict:
+    """face_landmark.tflite + iris_landmark.tflite → FaceMeshWithIris params."""
+    from depth_estimation_tpu.models.facemesh import FaceMesh, IrisLandmark
+
+    f_ops, f_consts, _ = _read_ops(face_path)
+    i_ops, i_consts, _ = _read_ops(iris_path)
+    mesh = assign_tflite_weights(
+        f_ops, f_consts, FaceMesh(), (1, 192, 192, 3), "FaceMesh"
+    )
+    iris = assign_tflite_weights(
+        i_ops, i_consts, IrisLandmark(), (1, 64, 64, 3), "IrisLandmark"
+    )
+    return {"mesh": mesh, "iris": iris}
+
+
+def convert_blazepose_detector_tflite(path: str) -> Dict:
+    """pose_detection.tflite → BlazePoseDetector params."""
+    from depth_estimation_tpu.models.blazepose import BlazePoseDetector
+
+    ops, consts, _ = _read_ops(path)
+    return assign_tflite_weights(
+        ops, consts, BlazePoseDetector(), (1, 224, 224, 3), "BlazePoseDetector"
+    )
+
+
+def convert_blazepose_tflite(path: str) -> Dict:
+    """pose_landmark_{lite,full,heavy}.tflite → BlazePose params."""
+    from depth_estimation_tpu.models.blazepose import BlazePose
+
+    ops, consts, _ = _read_ops(path)
+    return assign_tflite_weights(ops, consts, BlazePose(), (1, 256, 256, 3), "BlazePose")

