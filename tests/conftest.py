@@ -17,10 +17,23 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# silence the CPU AOT loader's per-entry machine-feature E-logs (cosmetic:
+# XLA pseudo-features like prefer-no-scatter; real miscompiles would fail
+# the asserting tests)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the detector/DPT test models take minutes of
+# XLA CPU compile per process; warm runs of the suite drop from ~24 to a few
+# minutes. Keyed by HLO, so code changes recompile as usual.
+_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "depth_estimation_tpu", "jax_test_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest
