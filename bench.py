@@ -55,121 +55,20 @@ def frame0(h, w):
     return SyntheticSource(1, h, w).read()[1]
 
 
-def onchip_ms_per_frame(est, img_u8, n1=8, n2=24, repeats=2):
-    """Slope method: jitted fori_loop over the full frame program at two
-    iteration counts, differenced.
+def onchip_ms_per_frame(est, img_u8, **kw):
+    """Slope-method timing of the estimator's shipped frame program.
+    Methodology (salting, two-count differencing, value-fetch sync) lives in
+    depth_estimation_tpu/utils/benchmark.py — the single home for it."""
+    from depth_estimation_tpu.utils.benchmark import onchip_frame_ms
 
-    Two tunnel defenses (both necessary — see CLAUDE.md):
-    * every timed invocation gets a fresh ``salt`` argument, because the
-      remote executor memoizes (executable, inputs) pairs and would return
-      a repeat invocation instantly;
-    * n1/n2 are large enough that both runs are compute-dominated, and the
-      difference cancels the ~100 ms per-dispatch latency.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
-    from depth_estimation_tpu.ops.resize import resize2d
-
-    cfg = est.preprocess_cfg
-    in_hw = img_u8.shape[:2]
-    net_hw = compute_resize_shape(*in_hw, cfg)
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
-    model, dtype = est.model, est.dtype
-    precision = getattr(est, "matmul_precision", "high")
-
-    def make_loop(n):
-        @jax.jit
-        def loop(params, img, salt):
-            with jax.default_matmul_precision(precision):
-                def body(i, acc):
-                    # perturb the frame per step AND per invocation
-                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
-                    x = (img + off)[..., ::-1]
-                    x = x.astype(jnp.float32) / 255.0
-                    x = resize2d(x, net_hw, method="cubic", align_corners=False)
-                    x = ((x - mean) / std).astype(dtype)
-                    pred = model.apply(params, x[None]).astype(jnp.float32)
-                    pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
-                    return acc + pred.mean()
-
-                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
-        return loop
-
-    img = jnp.asarray(img_u8)
-    salt_counter = [0]
-
-    def timed(loop):
-        salt_counter[0] += 1
-        salt = jnp.float32(salt_counter[0])
-        t0 = time.perf_counter()
-        float(loop(est.params, img, salt))
-        return time.perf_counter() - t0
-
-    mins = {}
-    for n in (n1, n2):
-        loop = make_loop(n)
-        timed(loop)  # compile + warm (uncounted)
-        mins[n] = min(timed(loop) for _ in range(repeats))
-    per = (mins[n2] - mins[n1]) / (n2 - n1)
-    return max(per, 1e-6) * 1e3
+    return onchip_frame_ms(est, img_u8, **kw)
 
 
-def onchip_batch_ms_per_image(est, imgs_u8, n1=4, n2=12, repeats=2):
-    """Slope-method timing of the BATCHED still-image program
-    (BASELINE.json config 2): (B, H, W, 3) uint8 → (B, H, W) f32 depth,
-    one XLA program, iterated in a salted fori_loop. Returns ms/image."""
-    import jax
-    import jax.numpy as jnp
+def onchip_batch_ms_per_image(est, imgs_u8, **kw):
+    """Slope-method timing of the shipped BATCHED program (config 2)."""
+    from depth_estimation_tpu.utils import benchmark
 
-    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
-    from depth_estimation_tpu.ops.resize import resize2d
-
-    cfg = est.preprocess_cfg
-    in_hw = imgs_u8.shape[1:3]
-    B = imgs_u8.shape[0]
-    net_hw = compute_resize_shape(*in_hw, cfg)
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
-    model, dtype = est.model, est.dtype
-    precision = getattr(est, "matmul_precision", "high")
-
-    def make_loop(n):
-        @jax.jit
-        def loop(params, imgs, salt):
-            with jax.default_matmul_precision(precision):
-                def body(i, acc):
-                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
-                    x = (imgs + off)[..., ::-1].astype(jnp.float32) / 255.0
-                    x = resize2d(x, net_hw, method="cubic", align_corners=False)
-                    x = ((x - mean) / std).astype(dtype)
-                    pred = model.apply(params, x).astype(jnp.float32)
-                    up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
-                    return acc + up.mean()
-
-                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
-        return loop
-
-    imgs = jnp.asarray(imgs_u8)
-    salt_counter = [0]
-
-    def timed(loop):
-        salt_counter[0] += 1
-        t0 = time.perf_counter()
-        float(loop(est.params, imgs, jnp.float32(salt_counter[0])))
-        return time.perf_counter() - t0
-
-    mins = {}
-    for n in (n1, n2):
-        loop = make_loop(n)
-        timed(loop)
-        mins[n] = min(timed(loop) for _ in range(repeats))
-    per_step = max((mins[n2] - mins[n1]) / (n2 - n1), 1e-6)
-    return per_step * 1e3 / B
+    return benchmark.onchip_batch_ms_per_image(est, imgs_u8, **kw)
 
 
 def e2e_numbers(est, frames):

@@ -54,9 +54,10 @@ def _init(model, shape, seed):
 
 def _wrap(p):
     """Converted TFLite trees are bare param dicts; apply() wants the
-    {'params': ...} collection wrapper."""
-    if p is None or "params" in p:
-        return p
+    {'params': ...} collection wrapper. An empty/None tree stays falsy so
+    callers' ``_wrap(...) or _init(...)`` random-init fallback still fires."""
+    if not p or "params" in p:
+        return p or None
     return {"params": p}
 
 

@@ -71,9 +71,12 @@ def _convert_one(key: str) -> Optional[Dict]:
                     return cached
         try:
             params = fn(*(str(p) for p in paths))
-        except ValueError as e:
+        except (ValueError, RuntimeError) as e:
+            # ValueError: structural mismatch; RuntimeError: flatbuffers
+            # runtime unavailable. Either way the documented contract is
+            # auto-load-if-possible with random-init fallback, not a crash.
             warnings.warn(
-                f"TFLite conversion for {key!r} failed structural matching: {e}",
+                f"TFLite conversion for {key!r} unavailable: {e}",
                 stacklevel=2,
             )
             return None

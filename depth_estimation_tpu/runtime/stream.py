@@ -210,6 +210,7 @@ class FusedVidStream:
         if self.log.enabled:
             self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
                          **self.timer.summary())
+            self.log.close()
         self.video.release()
         self.writer.release()
 

@@ -221,6 +221,10 @@ class ResilientSource(FrameSource):
         return bool(n and n > 0 and (self._frames_read + self.frames_dropped) < n)
 
     def read(self):
+        # clean Falses seen in this call are *tentative* — they only become
+        # dropped frames if a later read succeeds (proving the stream wasn't
+        # at EOF); containers routinely overstate CAP_PROP_FRAME_COUNT, so
+        # trusting metadata alone would log phantom drops at a clean EOF
         clean_false = 0
         while True:
             try:
@@ -234,6 +238,9 @@ class ResilientSource(FrameSource):
                     return False, None
                 continue
             if ok:
+                # clean-False reads before this success were real decode
+                # gaps, not EOF: commit them as drops now
+                self.frames_dropped += clean_false
                 self._consecutive_drops = 0
                 self._frames_read += 1
                 return True, frame
@@ -244,7 +251,6 @@ class ResilientSource(FrameSource):
             if clean_false >= self.retries or not self._expect_more():
                 return False, None
             clean_false += 1
-            self.frames_dropped += 1
 
     def is_opened(self):
         return self.inner.is_opened()

@@ -365,14 +365,39 @@ def _slot_expected_kind(leaf) -> str:
     return "FULLY_CONNECTED" if ndim == 2 else "CONV_2D"
 
 
-def assign_tflite_weights(ops, consts, model, input_shape, model_name: str = "?") -> Dict:
+def _op_matches_slot(kind, converted_kernel, bias, leaf, want_kernel) -> bool:
+    """Full structural-agreement predicate: kernel shape, PReLU-vs-conv kind,
+    AND bias structure (presence + shape). Bias agreement is part of the
+    match — not a post-bind assertion — so a shape-coincident conv from a
+    graph branch the Flax model doesn't implement cannot bind to a slot
+    whose bias layout it doesn't share."""
+    if converted_kernel.shape != want_kernel.shape:
+        return False
+    if ("alpha" in leaf) != (kind == "PRELU"):
+        return False
+    if "alpha" not in leaf:
+        if ("bias" in leaf) != (bias is not None):
+            return False
+        if bias is not None and bias.shape != np.asarray(leaf["bias"]).shape:
+            return False
+    return True
+
+
+def assign_tflite_weights(
+    ops, consts, model, input_shape, model_name: str = "?", allow_skips: bool = False
+) -> Dict:
     """Map a TFLite op stream onto ``model``'s param tree structurally.
 
     For each weight layer (in true execution order, flax_layer_order) the
-    next compatible weight op is consumed; ops belonging to branches the
-    Flax model does not implement (e.g. the pose segmentation decoder) are
-    skipped. Any slot that cannot be filled raises with a diagnostic naming
-    the layer.
+    next compatible weight op is consumed. By default every weight-bearing
+    op must be consumed in order (``allow_skips=False``): a foreign op in
+    the stream raises instead of being silently jumped — this is what makes
+    a successful conversion *prove* the architecture layer-for-layer. For
+    graphs that carry whole branches the Flax model deliberately omits
+    (e.g. the pose segmentation decoder), pass ``allow_skips=True``; each
+    skipped weight op is then reported via ``warnings.warn`` so a
+    mis-matched stream is never silent. Any slot that cannot be filled
+    raises with a diagnostic naming the layer.
     """
     import jax
 
@@ -386,25 +411,33 @@ def assign_tflite_weights(ops, consts, model, input_shape, model_name: str = "?"
         slots.append((path, node))
     out = jax.tree_util.tree_map(np.asarray, template)
     pos = 0
+    skipped: List[Tuple[int, str]] = []
     for path, leaf in slots:
         want_kernel = np.asarray(leaf["kernel"] if "kernel" in leaf else leaf["alpha"])
         found = None
-        for j in range(pos, len(layers)):
+        search_end = len(layers) if allow_skips else min(pos + 1, len(layers))
+        for j in range(pos, search_end):
             kind, kernel, bias = layers[j]
             k = _convert_layer(kind, kernel, want_kernel.shape)
-            if k.shape == want_kernel.shape:
-                # depthwise slots must come from DEPTHWISE ops and vice versa
-                if ("alpha" in leaf) != (kind == "PRELU"):
-                    continue
+            if _op_matches_slot(kind, k, bias, leaf, want_kernel):
                 found = (j, kind, k, bias)
                 break
         if found is None:
+            got = (
+                f"next op is {layers[pos][0]} kernel {layers[pos][1].shape}"
+                if pos < len(layers)
+                else "op stream exhausted"
+            )
             raise ValueError(
                 f"{model_name}: no TFLite weight matches layer {'/'.join(path)} "
-                f"(expected shape {want_kernel.shape}, searched {len(layers)-pos} "
-                f"remaining ops from position {pos})"
+                f"(expected kernel shape {want_kernel.shape}; {got}; "
+                f"position {pos}/{len(layers)}"
+                + ("" if allow_skips else "; strict in-order matching — "
+                   "pass allow_skips=True only for graphs with known extra branches")
+                + ")"
             )
         j, kind, k, bias = found
+        skipped.extend((i, layers[i][0]) for i in range(pos, j))
         pos = j + 1
         node = out
         for p in path[:-1]:
@@ -415,15 +448,18 @@ def assign_tflite_weights(ops, consts, model, input_shape, model_name: str = "?"
         else:
             new = {"kernel": k.astype(np.float32)}
             if "bias" in leaf:
-                if bias is None:
-                    raise ValueError(f"{model_name}: layer {'/'.join(path)} expects a bias, TFLite op has none")
-                if bias.shape != np.asarray(leaf["bias"]).shape:
-                    raise ValueError(
-                        f"{model_name}: bias shape mismatch at {'/'.join(path)}: "
-                        f"{bias.shape} vs {np.asarray(leaf['bias']).shape}"
-                    )
                 new["bias"] = bias.astype(np.float32)
             node[leaf_name] = new
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"{model_name}: skipped {len(skipped)} weight op(s) from branches "
+            f"the Flax model does not implement: "
+            f"{[(i, kd) for i, kd in skipped[:8]]}"
+            + ("..." if len(skipped) > 8 else ""),
+            stacklevel=2,
+        )
     return out
 
 
@@ -471,4 +507,8 @@ def convert_blazepose_tflite(path: str) -> Dict:
     from depth_estimation_tpu.models.blazepose import BlazePose
 
     ops, consts, _ = _read_ops(path)
-    return assign_tflite_weights(ops, consts, BlazePose(), (1, 256, 256, 3), "BlazePose")
+    # the real pose landmark graph carries segmentation/heatmap branches the
+    # Flax model deliberately omits — skipping is expected here (and warned)
+    return assign_tflite_weights(
+        ops, consts, BlazePose(), (1, 256, 256, 3), "BlazePose", allow_skips=True
+    )

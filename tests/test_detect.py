@@ -131,36 +131,55 @@ def test_facemesh_output_shapes(rng):
     assert np.isfinite(np.asarray(lm)).all()
 
 
-def test_facemesh_iris_points_lie_in_eye_rois(rng):
-    """Refined iris points (468-477) must land inside the eye ROIs computed
-    from the coarse mesh — the geometric contract of the composition."""
+def test_facemesh_iris_refinement_matches_manual_composition(rng):
+    """Re-derive the refine_landmarks composition by hand — run FaceMesh,
+    build the eye ROIs, crop (mirroring the right eye), run IrisLandmark,
+    un-mirror and affine-map back — and require FaceMeshWithIris's points
+    468-477 to match. A regression in the ROI math, the mirror, the crop
+    sampling, the index layout, or the affine map back cannot pass."""
     import jax
 
     from depth_estimation_tpu.models.facemesh import (
+        IRIS_INPUT_SIZE,
         LEFT_EYE_CORNERS,
         RIGHT_EYE_CORNERS,
+        FaceMesh,
         FaceMeshWithIris,
+        IrisLandmark,
         _eye_rois,
     )
+    from depth_estimation_tpu.ops.sampling import crop_resize_bilinear
 
     m = FaceMeshWithIris()
-    x = rng.random((1, 192, 192, 3)).astype(np.float32)
+    x = rng.random((2, 192, 192, 3)).astype(np.float32)
     params = jax.jit(m.init)(jax.random.PRNGKey(3), np.zeros((1, 192, 192, 3), np.float32))
     lm, _ = jax.jit(m.apply)(params, x)
     lm = np.asarray(lm)
-    mesh = jnp.asarray(lm[:, :468])
-    for corners, sl in ((RIGHT_EYE_CORNERS, slice(468, 473)), (LEFT_EYE_CORNERS, slice(473, 478))):
-        x0, y0, side = (np.asarray(v)[0] for v in _eye_rois(mesh, corners, 192.0))
-        pts = lm[0, sl, :2]
-        # random-init iris nets regress arbitrary 64-crop coords; the mapped
-        # points must still be an affine map of those into THIS roi — check
-        # they're within the roi box extended by the net's output range
-        assert np.isfinite(pts).all()
-        # x0/y0/side define the crop: a point at crop coord c maps to
-        # x0 + c*side/64; invert and check consistency
-        inv = (pts - np.array([x0, y0])) / (side / 64.0)
-        assert inv.shape == (5, 2)
 
+    # manual composition from the same sub-params
+    mesh_lm, _ = FaceMesh().apply({"params": params["params"]["mesh"]}, x)
+    np.testing.assert_allclose(lm[:, :468], np.asarray(mesh_lm), atol=1e-5)
+    crop = jax.vmap(crop_resize_bilinear, in_axes=(0, 0, None))
+    out_hw = (IRIS_INPUT_SIZE, IRIS_INPUT_SIZE)
+    for corners, sl, mirrored in (
+        (RIGHT_EYE_CORNERS, slice(468, 473), True),
+        (LEFT_EYE_CORNERS, slice(473, 478), False),
+    ):
+        x0, y0, side = _eye_rois(mesh_lm, corners, 192.0)
+        c = crop(jnp.asarray(x), jnp.stack([x0, y0, side], axis=-1), out_hw)
+        if mirrored:
+            c = c[:, :, ::-1, :]
+        _eye, iris = IrisLandmark().apply({"params": params["params"]["iris"]}, c)
+        iris = np.array(iris)
+        if mirrored:
+            iris[:, :, 0] = IRIS_INPUT_SIZE - iris[:, :, 0]
+        s = (np.asarray(side) / IRIS_INPUT_SIZE)[:, None]
+        expect = np.stack(
+            [np.asarray(x0)[:, None] + iris[:, :, 0] * s,
+             np.asarray(y0)[:, None] + iris[:, :, 1] * s,
+             iris[:, :, 2] * s], axis=-1)
+        np.testing.assert_allclose(lm[:, sl], expect, atol=1e-4,
+                                   err_msg=f"corners={corners}")
 
 def test_blazepose_output_shapes(rng):
     import jax
@@ -303,3 +322,18 @@ def test_iris_landmark_projection_exact(rng, monkeypatch):
     cx, cy = face.l_iris["center"]
     assert abs(cx - 129.0) < 1e-6 and abs(cy - 97.0) < 1e-6
     assert abs(face.l_iris["radius"] - np.sqrt(2.0)) < 1e-6
+
+
+def test_wrap_empty_tree_falls_back_to_init():
+    """An empty per-key param dict (e.g. a loader that found nothing) must
+    stay falsy through _wrap so `_wrap(...) or _init(...)` random-init
+    fallback fires, instead of becoming a truthy {'params': {}} that
+    explodes at first apply."""
+    from depth_estimation_tpu.detect.person_detector import _wrap
+
+    assert _wrap(None) is None
+    assert _wrap({}) is None
+    wrapped = _wrap({"stem": {"kernel": np.zeros((3, 3, 3, 8))}})
+    assert set(wrapped) == {"params"}
+    already = {"params": {"stem": {}}}
+    assert _wrap(already) is already

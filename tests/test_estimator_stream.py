@@ -222,6 +222,62 @@ def test_resilient_source_dead_decoder_gives_up():
     assert src.frames_dropped == 6  # 5 consecutive allowed + the fatal one
 
 
+class _OverstatedMetadataSource(SyntheticSource):
+    """Container header claims more frames than actually decode (common with
+    cv2 CAP_PROP_FRAME_COUNT on VFR/corrupt-header files)."""
+
+    def __init__(self, n, h, w, claimed):
+        super().__init__(n, h, w)
+        self.frame_count = float(claimed)
+
+
+class _CleanFalseGapSource(SyntheticSource):
+    """read() returns a clean (False, None) at the given indices but keeps
+    decoding afterwards — cv2's behavior for a corrupt-but-recoverable frame."""
+
+    def __init__(self, n, h, w, gap_at=()):
+        super().__init__(n, h, w)
+        self.gap_at = set(gap_at)
+        self._served = 0
+
+    def read(self):
+        if self._served in self.gap_at:
+            self.gap_at.discard(self._served)
+            self._served += 1
+            return False, None
+        self._served += 1
+        return super().read()
+
+
+def _drain(src):
+    got = []
+    while True:
+        ok, f = src.read()
+        if not ok:
+            return got
+        got.append(f)
+
+
+def test_resilient_source_no_phantom_drops_at_clean_eof():
+    """Metadata overstating the frame total must NOT produce drop counts at
+    a clean EOF: drops are only committed when a later read succeeds."""
+    from depth_estimation_tpu.runtime.video import ResilientSource
+
+    src = ResilientSource(_OverstatedMetadataSource(8, 32, 48, claimed=250))
+    assert len(_drain(src)) == 8
+    assert src.frames_dropped == 0
+
+
+def test_resilient_source_counts_midstream_clean_false_gap():
+    """A clean-False read followed by a successful one is a real decode gap
+    and IS counted as a drop."""
+    from depth_estimation_tpu.runtime.video import ResilientSource
+
+    src = ResilientSource(_CleanFalseGapSource(10, 32, 48, gap_at=(3,)), retries=2)
+    assert len(_drain(src)) == 10
+    assert src.frames_dropped == 1
+
+
 def test_vidstream_survives_decode_failures(estimator, capsys, monkeypatch, tmp_path):
     log = tmp_path / "log.jsonl"
     monkeypatch.setenv("DEPTH_TPU_LOG_JSON", str(log))

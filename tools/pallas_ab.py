@@ -16,7 +16,6 @@ Usage: python tools/pallas_ab.py [--height 480 --width 640]
 
 import argparse
 import sys
-import time
 import warnings
 
 import numpy as np
@@ -81,26 +80,6 @@ def make_pre_only(est, in_hw, variant):
     return pre
 
 
-def slope_time(loop_maker, args, n1=8, n2=24, repeats=2):
-    import jax
-    import jax.numpy as jnp
-
-    salt_counter = [0]
-
-    def timed(loop):
-        salt_counter[0] += 1
-        t0 = time.perf_counter()
-        float(loop(*args, jnp.float32(salt_counter[0])))
-        return time.perf_counter() - t0
-
-    mins = {}
-    for n in (n1, n2):
-        loop = loop_maker(n)
-        timed(loop)
-        mins[n] = min(timed(loop) for _ in range(repeats))
-    return max((mins[n2] - mins[n1]) / (n2 - n1), 1e-6) * 1e3
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=480)
@@ -130,38 +109,24 @@ def main():
     diff = np.abs(outs["xla"] - outs["pallas"]).max() / (np.abs(outs["xla"]).max() + 1e-8)
     print(f"full-frame xla-vs-pallas max abs-rel: {diff:.2e}")
 
+    from depth_estimation_tpu.utils.benchmark import perturb_u8, salted_loop, slope_time_ms
+
     for variant in ("xla", "pallas"):
         frame = make_variant(est, in_hw, variant)
 
-        def loop_maker(n, frame=frame):
-            @jax.jit
-            def loop(params, img, salt):
-                def body(i, acc):
-                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
-                    return acc + frame(params, img + off).mean()
+        def step(i, salt, params, img, frame=frame):
+            return frame(params, perturb_u8(img, i, salt)).mean()
 
-                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
-            return loop
-
-        ms = slope_time(loop_maker, (est.params, img))
+        ms = slope_time_ms(salted_loop(step), (est.params, img))
         print(f"full frame [{variant:6s}]: {ms:.3f} ms/frame", flush=True)
 
     for variant in ("xla", "pallas"):
         pre = make_pre_only(est, in_hw, variant)
 
-        def loop_maker(n, pre=pre):
-            @jax.jit
-            def loop(img, salt):
-                def body(i, acc):
-                    off = ((i.astype(jnp.float32) + salt) % 7.0).astype(jnp.uint8)
-                    return acc + pre(img + off).mean()
+        def step(i, salt, img, pre=pre):
+            return pre(perturb_u8(img, i, salt)).mean()
 
-                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
-            return loop
-
-        ms = slope_time(loop_maker, (img,), n1=32, n2=96)
+        ms = slope_time_ms(salted_loop(step), (img,), n1=32, n2=96)
         print(f"preprocess only [{variant:6s}]: {ms:.4f} ms", flush=True)
     return 0
 
