@@ -207,6 +207,30 @@ class PersonDetector:
         self.face.l_iris["center"], self.face.l_iris["radius"] = min_enclosing_circle(mesh[self.LEFT_IRIS])
         self.face.r_iris["center"], self.face.r_iris["radius"] = min_enclosing_circle(mesh[self.RIGHT_IRIS])
 
+    def set_fused_mesh(self, img: np.ndarray, mesh, score, l_center, l_radius,
+                       r_center, r_radius, found: bool) -> None:
+        """Fill the face state from the single-dispatch fused iris program
+        (runtime/fused.py::make_fused_iris_frame_fn) — the landmark net, the
+        frame-pixel mapping and both iris circle fits already ran on device;
+        this is pure host bookkeeping.
+
+        ``mesh`` is (478, 2) int32 frame pixels (unlike findIris's internal
+        192-crop ``results`` cache, the fused program returns frame space
+        directly). On ``found=False`` leaves ``face.mesh`` untouched, like
+        findIris on a detection miss.
+        """
+        self.h, self.w = img.shape[:2]
+        if not found:
+            self.results = None
+            return
+        mesh = np.asarray(mesh)
+        self.results = {"landmarks": mesh, "score": float(score)}
+        self.face.mesh = mesh
+        l_c = np.asarray(l_center, dtype=np.float64)
+        r_c = np.asarray(r_center, dtype=np.float64)
+        self.face.l_iris["center"], self.face.l_iris["radius"] = (float(l_c[0]), float(l_c[1])), float(l_radius)
+        self.face.r_iris["center"], self.face.r_iris["radius"] = (float(r_c[0]), float(r_c[1])), float(r_radius)
+
     def findBody(self, img: np.ndarray):
         """Detect body pose; returns (img, head_pts) with head_pts = ear
         landmarks 7, 8 in pixels (reference: detectors.py:67-106)."""

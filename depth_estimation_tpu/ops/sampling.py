@@ -55,6 +55,42 @@ def crop_resize_bilinear(img: jnp.ndarray, box_xys: jnp.ndarray, out_hw) -> jnp.
     return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
 
 
+def crop_resize_bilinear_rect(img: jnp.ndarray, box_xywh: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Rectangular crop-and-resize with crop-then-resize border semantics.
+
+    img: (H, W, C); box_xywh: (4,) = (x0, y0, bw, bh) in pixels with integer
+    values (may be traced); out_hw: static (out_h, out_w). Reproduces
+    ``resize2d(img[y0:y0+bh, x0:x0+bw], out_hw, "linear")`` exactly: sample
+    coordinates are clamped to the *box* interior (not the image border), so
+    the result is bit-equivalent to slicing the crop on the host and
+    resizing it — the primitive that lets the FaceMesh stage join the fused
+    single-dispatch frame program (runtime/fused.py) with a dynamic,
+    detection-dependent box.
+    """
+    out_h, out_w = out_hw
+    x0, y0 = box_xywh[0], box_xywh[1]
+    bw, bh = box_xywh[2], box_xywh[3]
+    sx = bw / out_w
+    sy = bh / out_h
+    xs = x0 + jnp.clip((jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5, 0.0, bw - 1.0)
+    ys = y0 + jnp.clip((jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5, 0.0, bh - 1.0)
+    xf = jnp.floor(xs)
+    yf = jnp.floor(ys)
+    tx = xs - xf
+    ty = ys - yf
+    xi = xf.astype(jnp.int32)
+    yi = yf.astype(jnp.int32)
+    xi1 = jnp.minimum(xi + 1, (x0 + bw - 1).astype(jnp.int32))
+    yi1 = jnp.minimum(yi + 1, (y0 + bh - 1).astype(jnp.int32))
+    top = img[yi]  # (oh, W, C)
+    bot = img[yi1]
+    tl, tr = top[:, xi], top[:, xi1]  # (oh, ow, C)
+    bl, br = bot[:, xi], bot[:, xi1]
+    txc = tx[None, :, None]
+    tyc = ty[:, None, None]
+    return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
+
+
 def depth_at_points(depth: jnp.ndarray, points_xy: jnp.ndarray, faithful: bool = False) -> jnp.ndarray:
     """depth: (H, W); points_xy: (N, 2) pixel (x, y). Returns (N,) samples.
 

@@ -8,9 +8,18 @@ program per source resolution that computes
   depth map (full frame)  +  BlazeFace boxes/scores (decoded, NMS'd)
 
 from a single uint8 frame already resident on device — the detect-then-
-reduce design of the BASELINE north star. The FaceMesh landmark stage still
-runs as a second dispatch only when a face was actually found (its crop
-depends on the detection result).
+reduce design of the BASELINE north star.
+
+``make_fused_iris_frame_fn`` goes further: the FaceMesh+iris landmark stage
+joins the SAME program. The detection-dependent face crop is a gather-based
+rect crop-resize (ops/sampling.py::crop_resize_bilinear_rect — dynamic box,
+static output shape), the 478-landmark mesh is mapped to frame pixels, and
+the two iris min-enclosing circles are fit on device
+(detect/circle.py::min_enclosing_circle_jax). The mesh branch runs under
+``lax.cond`` so face-less frames skip the landmark networks entirely. The
+whole reference iris path (midas_mediapipe.py:51-74) thus becomes ONE XLA
+dispatch per frame with zero mid-frame host synchronization; only the
+BlazePose fallback (taken on detection miss) remains a separate dispatch.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from depth_estimation_tpu.config import LEFT_IRIS, RIGHT_IRIS
 from depth_estimation_tpu.detect.anchors import (
     BLAZEFACE_FRONT,
     build_anchors,
@@ -28,8 +38,10 @@ from depth_estimation_tpu.detect.anchors import (
     decode_scores,
     weighted_nms,
 )
+from depth_estimation_tpu.detect.circle import min_enclosing_circle_jax
 from depth_estimation_tpu.ops.preprocess import compute_resize_shape
 from depth_estimation_tpu.ops.resize import resize2d
+from depth_estimation_tpu.ops.sampling import crop_resize_bilinear_rect
 
 
 def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
@@ -69,18 +81,122 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     return fused
 
 
-class FusedFrameRunner:
-    """Caches the fused program per source resolution; one dispatch/frame."""
+def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
+    """The WHOLE reference iris path as one XLA program.
 
-    def __init__(self, estimator, detector):
+    Returns fn(depth_params, face_params, mesh_params, img_u8) ->
+    (depth (H, W) f32, boxes (M, 16), scores (M,), valid (M,),
+     mesh (478, 2) i32 frame pixels, mesh_score f32,
+     l_center (2,) f32, l_radius f32, r_center (2,) f32, r_radius f32).
+
+    Mesh outputs are only meaningful when ``valid[0]`` — the landmark branch
+    is skipped via ``lax.cond`` on detection miss (zeros returned). The crop
+    box, landmark→frame mapping, and int truncation reproduce the staged
+    host path (detect/person_detector.py::_best_face_box / findIris) so the
+    two paths agree to numeric tolerance.
+    """
+    cfg = estimator.preprocess_cfg
+    net_hw = compute_resize_shape(*in_hw, cfg)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    model = estimator.model
+    dtype = estimator.dtype
+    face_model = detector._face_det
+    mesh_model = detector._mesh
+    anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+    thresh = detector.minDetectionCon
+    h, w = in_hw
+    l_iris_idx = jnp.asarray(LEFT_IRIS)
+    r_iris_idx = jnp.asarray(RIGHT_IRIS)
+
+    precision = getattr(estimator, "matmul_precision", "high")
+
+    @jax.jit
+    def fused(depth_params, face_params, mesh_params, img_u8):
+      with jax.default_matmul_precision(precision):
+        rgb = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+
+        # depth branch
+        x = resize2d(rgb, net_hw, method="cubic", align_corners=False)
+        x = ((x - mean) / std).astype(dtype)
+        pred = model.apply(depth_params, x[None]).astype(jnp.float32)
+        depth = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
+
+        # detection branch (shares the rgb f32 conversion)
+        d = resize2d(rgb * 2.0 - 1.0, (128, 128), method="linear", align_corners=False)
+        raw_boxes, raw_scores = face_model.apply(face_params, d[None])
+        boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
+        scores = decode_scores(raw_scores[0])
+        boxes, scores, valid = weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=thresh)
+
+        # mesh branch — crop box exactly as _best_face_box (25% margin,
+        # truncating int casts, ordered clips)
+        ymin, xmin, ymax, xmax = boxes[0, 0], boxes[0, 1], boxes[0, 2], boxes[0, 3]
+        bw, bh = xmax - xmin, ymax - ymin
+        x0 = jnp.trunc(jnp.clip((xmin - 0.25 * bw) * w, 0.0, w - 2.0))
+        x1 = jnp.trunc(jnp.clip((xmax + 0.25 * bw) * w, x0 + 1.0, float(w)))
+        y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
+        y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
+
+        def run_mesh(_):
+            crop = crop_resize_bilinear_rect(
+                rgb, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
+            )
+            lm, score = mesh_model.apply(mesh_params, crop[None])
+            lm, score = lm[0], score[0]
+            sx = (x1 - x0) / 192.0
+            sy = (y1 - y0) / 192.0
+            mesh = jnp.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1)
+            mesh = jnp.trunc(mesh).astype(jnp.int32)  # host .astype(int)
+            l_c, l_r = min_enclosing_circle_jax(mesh[l_iris_idx].astype(jnp.float32))
+            r_c, r_r = min_enclosing_circle_jax(mesh[r_iris_idx].astype(jnp.float32))
+            return mesh, score, l_c, l_r, r_c, r_r
+
+        def skip_mesh(_):
+            z2 = jnp.zeros((2,), jnp.float32)
+            return (
+                jnp.zeros((478, 2), jnp.int32),
+                jnp.float32(0.0),
+                z2,
+                jnp.float32(0.0),
+                z2,
+                jnp.float32(0.0),
+            )
+
+        mesh, mscore, l_c, l_r, r_c, r_r = jax.lax.cond(
+            valid[0], run_mesh, skip_mesh, operand=None
+        )
+        return depth, boxes, scores, valid, mesh, mscore, l_c, l_r, r_c, r_r
+
+    return fused
+
+
+class FusedFrameRunner:
+    """Caches the fused program per source resolution; one dispatch/frame.
+
+    ``mesh=True`` (default) uses the full single-dispatch iris program
+    (depth + detect + FaceMesh + iris circles); ``mesh=False`` keeps the
+    depth+detect-only program with the landmark stage as a second dispatch.
+    """
+
+    def __init__(self, estimator, detector, mesh: bool = True):
         self.estimator = estimator
         self.detector = detector
+        self.mesh = mesh
         self._cache = {}
 
     def __call__(self, img_u8):
         key = img_u8.shape[:2]
         fn = self._cache.get(key)
         if fn is None:
-            fn = make_fused_frame_fn(self.estimator, self.detector, key)
+            maker = make_fused_iris_frame_fn if self.mesh else make_fused_frame_fn
+            fn = maker(self.estimator, self.detector, key)
             self._cache[key] = fn
+        if self.mesh:
+            return fn(
+                self.estimator.params,
+                self.detector._face_det_params,
+                self.detector._mesh_params,
+                img_u8,
+            )
         return fn(self.estimator.params, self.detector._face_det_params, img_u8)

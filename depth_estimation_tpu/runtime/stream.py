@@ -114,8 +114,10 @@ class FusedVidStream:
     def __init__(self, estimator, detector, face, src=None, output=None,
                  verbose: bool = True, fused: bool = True, start_frame: int = 0,
                  retries: int = 2):
-        """fused=True computes depth + face detection in ONE XLA dispatch per
-        frame (runtime/fused.py); the mesh stage runs only on detection hits.
+        """fused=True computes depth + face detection + FaceMesh/iris in ONE
+        XLA dispatch per frame (runtime/fused.py — the landmark branch is a
+        lax.cond taken on detection hits); only the BlazePose fallback is a
+        separate dispatch, on miss frames.
         retries: decode-failure retry budget per frame (ResilientSource)."""
         self.detector = detector
         self.estimator = estimator
@@ -170,11 +172,21 @@ class FusedVidStream:
 
             self.face.mesh = None  # per-frame detection reset (:51)
             if self._fused_runner is not None:
-                # one dispatch: depth + detection together
+                # one dispatch: depth + detection (+ mesh/iris when the
+                # runner compiles the full iris program)
                 with self.timer.stage("depth"):
-                    depth_dev, boxes, scores, valid = self._fused_runner(self.frame)
+                    out = self._fused_runner(self.frame)
                 with self.timer.stage("iris"):
-                    self.detector.findIris(self.frame, detection=(boxes, scores, valid))
+                    if len(out) == 4:
+                        depth_dev, boxes, scores, valid = out
+                        self.detector.findIris(self.frame, detection=(boxes, scores, valid))
+                    else:
+                        (depth_dev, boxes, scores, valid, mesh, mscore,
+                         l_c, l_r, r_c, r_r) = out
+                        self.detector.set_fused_mesh(
+                            self.frame, mesh, mscore, l_c, l_r, r_c, r_r,
+                            found=bool(np.asarray(valid)[0]),
+                        )
             else:
                 with self.timer.stage("depth"):
                     depth_dev = self.estimator.predict_device(self.frame)

@@ -266,7 +266,7 @@ def test_fused_frame_runner_matches_staged(rng):
     det, _face = _make_person_detector()
     img = rng.integers(0, 256, (120, 160, 3), np.uint8)
 
-    runner = FusedFrameRunner(est, det)
+    runner = FusedFrameRunner(est, det, mesh=False)
     depth_f, boxes_f, scores_f, valid_f = runner(img)
 
     depth_s = est.predict(img)
