@@ -249,6 +249,25 @@ class PersonDetector:
         self.results = {"landmarks": lm, "score": float(score)}
         return img, head_pts
 
+    def body_from_fused(self, img: np.ndarray, lm, score):
+        """findBody's host half on landmarks the fused single-dispatch
+        program already computed (runtime/fused.py pose branch): scale the
+        256-crop landmarks to frame pixels, draw the ear points, return
+        (img, head_pts) — identical contract to findBody without the second
+        dispatch."""
+        h, w = img.shape[:2]
+        self.h, self.w = self.h or h, self.w or w
+        lm = np.asarray(lm)
+        xs = lm[:, 0] * (w / 256.0)
+        ys = lm[:, 1] * (h / 256.0)
+        head_pts = []
+        for idx in self.BODY_HEAD:
+            center = np.array([int(xs[idx]), int(ys[idx])])
+            head_pts.append(center)
+            self._draw_point(img, center, str(idx))
+        self.results = {"landmarks": lm, "score": float(score)}
+        return img, head_pts
+
     def visualize(self, img: np.ndarray) -> None:
         """Draw eye polylines, iris circles, head lines and the calibration
         card dots (reference: detectors.py:108-124)."""

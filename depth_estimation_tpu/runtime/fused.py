@@ -81,7 +81,8 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     return fused
 
 
-def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
+def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
+                             include_pose: bool = False):
     """The WHOLE reference iris path as one XLA program.
 
     Returns fn(depth_params, face_params, mesh_params, img_u8) ->
@@ -94,6 +95,13 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     box, landmark→frame mapping, and int truncation reproduce the staged
     host path (detect/person_detector.py::_best_face_box / findIris) so the
     two paths agree to numeric tolerance.
+
+    ``include_pose=True`` makes the cond's miss branch run the BlazePose
+    landmark net instead of returning zeros — the reference's body-pose
+    fallback (midas_mediapipe.py:95-117) — so EVERY frame is exactly one
+    dispatch whichever path it takes. The signature gains
+    ``pose_params`` and the outputs gain (pose_lm (33, 5) f32 in 256-crop
+    units, pose_score f32), zeros on the branch not taken.
     """
     cfg = estimator.preprocess_cfg
     net_hw = compute_resize_shape(*in_hw, cfg)
@@ -103,6 +111,7 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     dtype = estimator.dtype
     face_model = detector._face_det
     mesh_model = detector._mesh
+    pose_model = detector._pose if include_pose else None
     anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
     thresh = detector.minDetectionCon
     h, w = in_hw
@@ -111,8 +120,7 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
 
     precision = getattr(estimator, "matmul_precision", "high")
 
-    @jax.jit
-    def fused(depth_params, face_params, mesh_params, img_u8):
+    def fused(depth_params, face_params, mesh_params, pose_params, img_u8):
       with jax.default_matmul_precision(precision):
         rgb = img_u8[..., ::-1].astype(jnp.float32) / 255.0
 
@@ -138,6 +146,8 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
         y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
         y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
 
+        zero_pose = (jnp.zeros((33, 5), jnp.float32), jnp.float32(0.0))
+
         def run_mesh(_):
             crop = crop_resize_bilinear_rect(
                 rgb, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
@@ -150,11 +160,12 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
             mesh = jnp.trunc(mesh).astype(jnp.int32)  # host .astype(int)
             l_c, l_r = min_enclosing_circle_jax(mesh[l_iris_idx].astype(jnp.float32))
             r_c, r_r = min_enclosing_circle_jax(mesh[r_iris_idx].astype(jnp.float32))
-            return mesh, score, l_c, l_r, r_c, r_r
+            out = (mesh, score, l_c, l_r, r_c, r_r)
+            return out + zero_pose if include_pose else out
 
         def skip_mesh(_):
             z2 = jnp.zeros((2,), jnp.float32)
-            return (
+            out = (
                 jnp.zeros((478, 2), jnp.int32),
                 jnp.float32(0.0),
                 z2,
@@ -162,36 +173,65 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
                 z2,
                 jnp.float32(0.0),
             )
+            if not include_pose:
+                return out
+            # miss branch = the reference's body-pose fallback: BlazePose on
+            # the full frame, exactly as the staged findBody feeds it
+            # (person_detector.py::_pose_fn — /255 then 256² linear resize)
+            p = resize2d(rgb, (256, 256), method="linear", align_corners=False)
+            plm, pscore = pose_model.apply(pose_params, p[None])
+            return out + (plm[0], pscore[0])
 
-        mesh, mscore, l_c, l_r, r_c, r_r = jax.lax.cond(
-            valid[0], run_mesh, skip_mesh, operand=None
-        )
-        return depth, boxes, scores, valid, mesh, mscore, l_c, l_r, r_c, r_r
+        fused_out = jax.lax.cond(valid[0], run_mesh, skip_mesh, operand=None)
+        return (depth, boxes, scores, valid) + fused_out
 
-    return fused
+    if include_pose:
+        return jax.jit(fused)
+
+    @jax.jit
+    def fused_no_pose(depth_params, face_params, mesh_params, img_u8):
+        return fused(depth_params, face_params, mesh_params, None, img_u8)
+
+    return fused_no_pose
 
 
 class FusedFrameRunner:
     """Caches the fused program per source resolution; one dispatch/frame.
 
-    ``mesh=True`` (default) uses the full single-dispatch iris program
-    (depth + detect + FaceMesh + iris circles); ``mesh=False`` keeps the
-    depth+detect-only program with the landmark stage as a second dispatch.
+    ``mesh=True`` (default) fuses the FaceMesh+iris stage into the program;
+    ``pose=True`` (default, requires mesh) additionally fuses the BlazePose
+    fallback as the detection-miss cond branch — the complete reference
+    per-frame pipeline as a single dispatch whichever path a frame takes.
+    ``mesh=False`` keeps the depth+detect-only program with the landmark
+    stage as a second dispatch.
     """
 
-    def __init__(self, estimator, detector, mesh: bool = True):
+    def __init__(self, estimator, detector, mesh: bool = True, pose: bool = True):
         self.estimator = estimator
         self.detector = detector
         self.mesh = mesh
+        self.pose = mesh and pose
         self._cache = {}
 
     def __call__(self, img_u8):
         key = img_u8.shape[:2]
         fn = self._cache.get(key)
         if fn is None:
-            maker = make_fused_iris_frame_fn if self.mesh else make_fused_frame_fn
-            fn = maker(self.estimator, self.detector, key)
+            if self.mesh:
+                fn = make_fused_iris_frame_fn(
+                    self.estimator, self.detector, key, include_pose=self.pose
+                )
+            else:
+                fn = make_fused_frame_fn(self.estimator, self.detector, key)
             self._cache[key] = fn
+        if self.pose:
+            return fn(
+                self.estimator.params,
+                self.detector._face_det_params,
+                self.detector._mesh_params,
+                self.detector._pose_params,
+                img_u8,
+            )
         if self.mesh:
             return fn(
                 self.estimator.params,

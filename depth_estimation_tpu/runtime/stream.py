@@ -127,6 +127,7 @@ class FusedVidStream:
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
         self._fused_runner = None
+        self._fused_pose = None  # device pose landmarks for the current frame
         if fused and hasattr(detector, "_face_det"):
             from depth_estimation_tpu.runtime.fused import FusedFrameRunner
 
@@ -176,17 +177,22 @@ class FusedVidStream:
                 # runner compiles the full iris program)
                 with self.timer.stage("depth"):
                     out = self._fused_runner(self.frame)
+                self._fused_pose = None
                 with self.timer.stage("iris"):
                     if len(out) == 4:
                         depth_dev, boxes, scores, valid = out
                         self.detector.findIris(self.frame, detection=(boxes, scores, valid))
                     else:
                         (depth_dev, boxes, scores, valid, mesh, mscore,
-                         l_c, l_r, r_c, r_r) = out
+                         l_c, l_r, r_c, r_r) = out[:10]
+                        found = bool(np.asarray(valid)[0])
                         self.detector.set_fused_mesh(
                             self.frame, mesh, mscore, l_c, l_r, r_c, r_r,
-                            found=bool(np.asarray(valid)[0]),
+                            found=found,
                         )
+                        if len(out) == 12 and not found:
+                            # pose fallback already computed on device
+                            self._fused_pose = (out[10], out[11])
             else:
                 with self.timer.stage("depth"):
                     depth_dev = self.estimator.predict_device(self.frame)
@@ -252,7 +258,13 @@ class FusedVidStream:
         self.face.rel2abs()
         self._put_text(self.frame, "Face not detected. Using body pose estimates.", (70, 50), (255, 0, 0))
         with self.timer.stage("body"):
-            self.frame, head_pts = self.detector.findBody(self.frame)
+            if self._fused_pose is not None:
+                # BlazePose already ran in the fused dispatch (cond branch)
+                self.frame, head_pts = self.detector.body_from_fused(
+                    self.frame, *self._fused_pose
+                )
+            else:
+                self.frame, head_pts = self.detector.findBody(self.frame)
         # get_headw scales by the iris radius (face.py:88) — only available
         # once a face has been seen at least once; the reference crashes on a
         # never-detected face here, we skip the measurement instead

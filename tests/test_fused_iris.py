@@ -141,6 +141,54 @@ def test_fused_iris_miss_branch_returns_zeros(estimator, rng):
     assert det.results is None
 
 
+def test_fused_pose_branch_matches_staged(estimator, rng):
+    """include_pose=True: the detection-miss cond branch runs BlazePose in
+    the same dispatch; landmarks must agree with the staged findBody path
+    and body_from_fused must reproduce findBody's host mapping."""
+    det, _face = _make_detector(minDetectionCon=2.0)  # always miss
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+
+    fn = make_fused_iris_frame_fn(estimator, det, (120, 160), include_pose=True)
+    out = fn(
+        estimator.params, det._face_det_params, det._mesh_params,
+        det._pose_params, img,
+    )
+    assert len(out) == 12
+    assert not np.asarray(out[3]).any()  # no detection
+    plm_f, pscore_f = np.asarray(out[10]), float(out[11])
+
+    lm_s, score_s = det._pose_fn(det._pose_params, np.ascontiguousarray(img[..., ::-1]))
+    np.testing.assert_allclose(plm_f, np.asarray(lm_s), atol=1e-4)
+    np.testing.assert_allclose(pscore_f, float(score_s), atol=1e-4)
+
+    _img_f, pts_f = det.body_from_fused(img.copy(), plm_f, pscore_f)
+    _img_s, pts_s = det.findBody(img.copy())
+    assert np.abs(np.asarray(pts_f) - np.asarray(pts_s)).max() <= 1
+
+
+def test_fused_stream_miss_uses_device_pose(estimator, monkeypatch):
+    """On a miss frame the stream must consume the fused pose landmarks and
+    never fire the staged findBody dispatch."""
+    from depth_estimation_tpu.runtime.stream import FusedVidStream
+    from depth_estimation_tpu.runtime.video import NullSink, SyntheticSource
+
+    det, face = _make_detector(minDetectionCon=2.0)  # every frame misses
+    # seed iris state so the body path takes its measurement branch
+    face.l_iris = {"center": (10.0, 10.0), "radius": 5.0}
+
+    def _boom(img):
+        raise AssertionError("staged findBody dispatched despite fused pose")
+
+    monkeypatch.setattr(det, "findBody", _boom)
+    vs = FusedVidStream(
+        estimator, det, face, SyntheticSource(2, 120, 160), NullSink(), verbose=False
+    )
+    assert vs._fused_runner.pose
+    vs.stream()
+    assert vs.cnt == 2
+    assert vs.timer.performance["body"], "body stage never taken"
+
+
 def test_fused_stream_end_to_end(estimator):
     """FusedVidStream with the full single-dispatch iris program survives a
     short synthetic stream and fills the face state via set_fused_mesh."""

@@ -16,9 +16,12 @@ Usage: python tools/fused_iris_ab.py [--model DPT_Large] [--hw 480 640]
 """
 
 import argparse
+import sys
 import warnings
 
 import numpy as np
+
+sys.path.insert(0, ".")  # run from the repo root
 
 
 def main():
