@@ -27,6 +27,7 @@ __all__ = [
     "PersonDetector",
     "FaceDetector",
     "VidStream",
+    "MultiStream",
 ]
 
 
@@ -51,4 +52,8 @@ def __getattr__(name):  # lazy imports keep `import depth_estimation_tpu` cheap
         from depth_estimation_tpu.runtime.stream import VidStream
 
         return VidStream
+    if name == "MultiStream":
+        from depth_estimation_tpu.runtime.multistream import MultiStream
+
+        return MultiStream
     raise AttributeError(f"module 'depth_estimation_tpu' has no attribute {name!r}")

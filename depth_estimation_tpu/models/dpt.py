@@ -51,6 +51,9 @@ class DPTConfig:
     # (tools/precision_bisect.py): the decoder's big fused convs run at
     # high spatial resolution and dominate 'high'-precision cost.
     decoder_precision: object = None
+    # Optional NamedSharding for the trunk's token activations — sequence
+    # parallelism over a mesh 'sp' axis (parallel/mesh.py::seq_sharding).
+    act_sharding: object = None
 
 
 DPT_LARGE = DPTConfig()
@@ -80,12 +83,24 @@ class DPT(nn.Module):
     cfg: DPTConfig = DPT_LARGE
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, H, W, 3) normalized, H/W multiples of 32. → (B, H, W)."""
+    def __call__(self, x: jnp.ndarray, hooked=None, grid=None) -> jnp.ndarray:
+        """x: (B, H, W, 3) normalized, H/W multiples of 32. → (B, H, W).
+
+        ``hooked``/``grid``: externally computed trunk hook activations +
+        patch grid (e.g. from the pipeline-parallel trunk,
+        parallel/pipeline.py::dpt_apply_pipelined) — the in-module ViT is
+        skipped and only the decoder runs. Init always runs the full model
+        so the param tree is identical either way.
+        """
         cfg = self.cfg
         C = cfg.embed_dim
 
-        if cfg.hybrid:
+        if hooked is not None:
+            if cfg.hybrid:
+                raise NotImplementedError("hook injection is plain-ViT only")
+            gh, gw = grid
+            layers = []
+        elif cfg.hybrid:
             stem_feats, stage_outs = ResNetV2Stem(name="resnet_stem")(x)
             token_lists, (gh, gw) = ViT(
                 embed_dim=C,
@@ -108,6 +123,7 @@ class DPT(nn.Module):
                 hooks=cfg.hooks,
                 use_pallas=cfg.use_pallas,
                 dot_precision=cfg.dot_precision,
+                act_sharding=cfg.act_sharding,
                 name="vit",
             )(x)
             layers = []

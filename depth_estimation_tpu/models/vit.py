@@ -98,6 +98,18 @@ class ViT(nn.Module):
     hooks: Tuple[int, ...] = (5, 11, 17, 23)
     use_pallas: bool = True
     dot_precision: object = None
+    # Optional NamedSharding for the (B, N, C) token activations — sequence
+    # parallelism (parallel/mesh.py::seq_sharding). Constraints are applied
+    # on entry and after every block; GSPMD inserts the K/V all-gathers the
+    # attention needs and keeps LayerNorm/MLP token-sharded.
+    act_sharding: object = None
+
+    def _constrain(self, tokens):
+        if self.act_sharding is None:
+            return tokens
+        import jax
+
+        return jax.lax.with_sharding_constraint(tokens, self.act_sharding)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, patches: Optional[jnp.ndarray] = None):
@@ -122,11 +134,13 @@ class ViT(nn.Module):
         )
         tokens = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, C)), tokens], axis=1)
         tokens = tokens + resize_pos_embed(pos_embed, (gh, gw), self.img_size // self.patch_size)
+        tokens = self._constrain(tokens)
 
         hooked = {}
         for i in range(self.depth):
             tokens = Block(self.embed_dim, self.num_heads, use_pallas=self.use_pallas,
                            dot_precision=self.dot_precision, name=f"blocks_{i}")(tokens)
+            tokens = self._constrain(tokens)
             if i in self.hooks:
                 hooked[i] = tokens
         return [hooked[i] for i in self.hooks], (gh, gw)

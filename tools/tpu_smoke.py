@@ -66,6 +66,24 @@ def main():
         print(f"{name}: predict {img.shape} -> {out.shape} in {time.time()-t0:.1f}s (incl compile)")
         ok &= out.shape == (480, 640)
 
+    # the full single-dispatch frame program (depth + BlazeFace + lax.cond
+    # FaceMesh-iris / BlazePose-fallback) — the streaming default
+    from depth_estimation_tpu.detect.person_detector import PersonDetector
+    from depth_estimation_tpu.geometry.face import FaceDet
+    from depth_estimation_tpu.runtime.fused import FusedFrameRunner
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        est = DepthEstimator("MiDaS_small", verbose=False)
+        det = PersonDetector(FaceDet(20, [505, 504, 675, 501]))
+    runner = FusedFrameRunner(est, det)
+    t0 = time.time()
+    out = runner(img)
+    n = len(out)
+    print(f"fused iris+pose program: {n} outputs, depth {np.asarray(out[0]).shape} "
+          f"in {time.time()-t0:.1f}s (incl compile)")
+    ok &= n == 12 and np.asarray(out[0]).shape == (480, 640)
+
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
