@@ -234,30 +234,19 @@ class PersonDetector:
     def findBody(self, img: np.ndarray):
         """Detect body pose; returns (img, head_pts) with head_pts = ear
         landmarks 7, 8 in pixels (reference: detectors.py:67-106)."""
-        h, w = img.shape[:2]
-        self.h, self.w = self.h or h, self.w or w
         lm, score = self._pose_fn(self._pose_params, np.ascontiguousarray(img[..., ::-1]))
-        lm = np.asarray(lm)
-        # landmark x/y are in 256-crop units; map to full frame
-        xs = lm[:, 0] * (w / 256.0)
-        ys = lm[:, 1] * (h / 256.0)
-        head_pts = []
-        for idx in self.BODY_HEAD:
-            center = np.array([int(xs[idx]), int(ys[idx])])
-            head_pts.append(center)
-            self._draw_point(img, center, str(idx))
-        self.results = {"landmarks": lm, "score": float(score)}
-        return img, head_pts
+        return self.body_from_fused(img, lm, score)
 
     def body_from_fused(self, img: np.ndarray, lm, score):
-        """findBody's host half on landmarks the fused single-dispatch
-        program already computed (runtime/fused.py pose branch): scale the
-        256-crop landmarks to frame pixels, draw the ear points, return
-        (img, head_pts) — identical contract to findBody without the second
-        dispatch."""
+        """findBody's host half on already-computed pose landmarks — either
+        from findBody's own dispatch above or from the fused single-dispatch
+        program's pose branch (runtime/fused.py): scale the 256-crop
+        landmarks to frame pixels, draw the ear points, return
+        (img, head_pts)."""
         h, w = img.shape[:2]
         self.h, self.w = self.h or h, self.w or w
         lm = np.asarray(lm)
+        # landmark x/y are in 256-crop units; map to full frame
         xs = lm[:, 0] * (w / 256.0)
         ys = lm[:, 1] * (h / 256.0)
         head_pts = []

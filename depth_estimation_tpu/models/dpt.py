@@ -95,7 +95,9 @@ class DPT(nn.Module):
         cfg = self.cfg
         C = cfg.embed_dim
 
-        if hooked is not None:
+        # hook injection never short-circuits init: the full model must run
+        # then so the param tree (incl. the ViT trunk) is complete
+        if hooked is not None and not self.is_initializing():
             if cfg.hybrid:
                 raise NotImplementedError("hook injection is plain-ViT only")
             gh, gw = grid

@@ -17,6 +17,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _bilinear_gather(img, xi, xi1, yi, yi1, tx, ty):
+    """Shared bilinear sampler core on precomputed neighbor indices and
+    fractions (the two crop-resize callers differ only in how they clamp
+    them). Gathers rows then columns — two 1-D gathers instead of a 2-D
+    one: contiguous lane access on TPU."""
+    top = img[yi]  # (oh, W, C)
+    bot = img[yi1]
+    tl, tr = top[:, xi], top[:, xi1]  # (oh, ow, C)
+    bl, br = bot[:, xi], bot[:, xi1]
+    txc = tx[None, :, None]
+    tyc = ty[:, None, None]
+    return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
+
+
 def crop_resize_bilinear(img: jnp.ndarray, box_xys: jnp.ndarray, out_hw) -> jnp.ndarray:
     """Sample a square sub-window of ``img`` to a fixed output size.
 
@@ -45,14 +59,7 @@ def crop_resize_bilinear(img: jnp.ndarray, box_xys: jnp.ndarray, out_hw) -> jnp.
     yi = yf.astype(jnp.int32)
     xi1 = jnp.minimum(xi + 1, w - 1)
     yi1 = jnp.minimum(yi + 1, h - 1)
-    # gather rows then columns (two 1-D gathers instead of a 2-D one)
-    top = img[yi]  # (oh, W, C)
-    bot = img[yi1]
-    tl, tr = top[:, xi], top[:, xi1]  # (oh, ow, C)
-    bl, br = bot[:, xi], bot[:, xi1]
-    txc = tx[None, :, None]
-    tyc = ty[:, None, None]
-    return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
+    return _bilinear_gather(img, xi, xi1, yi, yi1, tx, ty)
 
 
 def crop_resize_bilinear_rect(img: jnp.ndarray, box_xywh: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -82,13 +89,7 @@ def crop_resize_bilinear_rect(img: jnp.ndarray, box_xywh: jnp.ndarray, out_hw) -
     yi = yf.astype(jnp.int32)
     xi1 = jnp.minimum(xi + 1, (x0 + bw - 1).astype(jnp.int32))
     yi1 = jnp.minimum(yi + 1, (y0 + bh - 1).astype(jnp.int32))
-    top = img[yi]  # (oh, W, C)
-    bot = img[yi1]
-    tl, tr = top[:, xi], top[:, xi1]  # (oh, ow, C)
-    bl, br = bot[:, xi], bot[:, xi1]
-    txc = tx[None, :, None]
-    tyc = ty[:, None, None]
-    return (tl * (1 - txc) + tr * txc) * (1 - tyc) + (bl * (1 - txc) + br * txc) * tyc
+    return _bilinear_gather(img, xi, xi1, yi, yi1, tx, ty)
 
 
 def depth_at_points(depth: jnp.ndarray, points_xy: jnp.ndarray, faithful: bool = False) -> jnp.ndarray:

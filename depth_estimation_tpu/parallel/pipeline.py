@@ -51,7 +51,10 @@ def hook_table(hooks: Sequence[int], depth: int, pp: int) -> np.ndarray:
 
     Every stage must capture the same number of hooks (the shard_map runs
     one program on all stages); DPT-Large's hooks (5,11,17,23) satisfy this
-    for pp ∈ {2, 4}, DPT-Hybrid's transformer hooks (8,11) for pp = 2.
+    for pp ∈ {2, 4}. DPT-Hybrid's transformer hooks (8,11) do NOT (both
+    land in the second half of its 12 blocks) — hybrid would additionally
+    need ragged per-stage hook counts, one more reason it is out of the
+    pipelined path's scope (see dpt_apply_pipelined).
     """
     if depth % pp:
         raise ValueError(f"depth={depth} not divisible by pp={pp}")

@@ -195,15 +195,23 @@ def test_fused_stream_end_to_end(estimator):
     from depth_estimation_tpu.runtime.stream import FusedVidStream
     from depth_estimation_tpu.runtime.video import NullSink, SyntheticSource
 
-    det, face = _make_detector()
+    det, face = _make_detector()  # ~0 threshold ⇒ detection fires every frame
     vs = FusedVidStream(
         estimator, det, face, SyntheticSource(2, 120, 160), NullSink(), verbose=False
     )
     assert vs._fused_runner is not None and vs._fused_runner.mesh
+    calls = {"iris": 0, "body": 0}
+    orig_iris, orig_body = vs._iris_path, vs._body_path
+    vs._iris_path = lambda d: (calls.__setitem__("iris", calls["iris"] + 1), orig_iris(d))[1]
+    vs._body_path = lambda d: (calls.__setitem__("body", calls["body"] + 1), orig_body(d))[1]
     vs.stream()
     assert vs.cnt == 2
     assert vs.timer.performance["depth"], "fused dispatch never timed"
-    # threshold-0.2 random-init detection may or may not fire; either way the
-    # loop must have taken exactly one of the two paths per frame without
-    # touching the staged _mesh_fn dispatch
-    assert len(face.abs_depths) >= 0
+    # exactly one of the two measurement paths must run per frame (random-
+    # weight mesh may trip the degenerate-iris guard → body fallback; either
+    # way the frame is measured, never silently skipped)
+    assert calls["iris"] + calls["body"] == 2
+    assert det.results is not None, "detection fired but state never filled"
+    # one rel2abs per frame + one extra per body-fallback frame (the
+    # reference's fallback path calls rel2abs again, midas_mediapipe.py:96)
+    assert len(face.abs_depths) == 2 + calls["body"], "depth not sampled per frame"
