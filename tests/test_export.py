@@ -1,0 +1,46 @@
+"""StableHLO export round-trip: the serialized frame program must reload
+without model code and reproduce the live program exactly."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def est():
+    import warnings
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return DepthEstimator("MiDaS_small", verbose=False)
+
+
+def test_export_roundtrip_single_frame(est, tmp_path, rng):
+    from depth_estimation_tpu.utils.export import (
+        export_frame_program,
+        load_frame_program,
+    )
+
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    ref = est.predict(img)
+
+    blob = export_frame_program(est, (64, 96))
+    path = tmp_path / "midas.shlo"
+    path.write_bytes(blob)
+    fn = load_frame_program(path)  # from disk, as a serving process would
+    out = np.asarray(fn(est.params, img))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_export_roundtrip_batched(est, rng):
+    from depth_estimation_tpu.utils.export import (
+        export_frame_program,
+        load_frame_program,
+    )
+
+    imgs = rng.integers(0, 256, (2, 64, 96, 3), np.uint8)
+    ref = est.predict_batch(imgs)
+    blob = export_frame_program(est, (64, 96), batched=True, batch=2)
+    fn = load_frame_program(blob)
+    np.testing.assert_array_equal(np.asarray(fn(est.params, imgs)), ref)
