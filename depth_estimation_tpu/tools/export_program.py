@@ -1,0 +1,46 @@
+"""Console entry: export a frame program as a StableHLO deployment artifact.
+
+See utils/export.py for the design; `depth-export --model-type DPT_Large
+--hw 480 640 --out dpt.shlo` after install, or
+`python -m depth_estimation_tpu.tools.export_program`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+from depth_estimation_tpu.utils.platform import apply_platform_env
+
+
+def main(argv=None):
+    apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model-type", default="DPT_Large",
+                    choices=("MiDaS_small", "DPT_Large", "DPT_Hybrid"))
+    ap.add_argument("--hw", type=int, nargs=2, default=(480, 640),
+                    metavar=("H", "W"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batched", action="store_true")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--platforms", nargs="+", default=None,
+                    help="lowering targets, e.g.: tpu cpu (default: current backend)")
+    args = ap.parse_args(argv)
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+    from depth_estimation_tpu.utils.export import export_frame_program
+
+    est = DepthEstimator(args.model_type)
+    blob = export_frame_program(
+        est, tuple(args.hw), platforms=args.platforms,
+        batched=args.batched, batch=args.batch,
+    )
+    out = pathlib.Path(args.out)
+    out.write_bytes(blob)
+    shape = (f"({args.batch}, {args.hw[0]}, {args.hw[1]}, 3)" if args.batched
+             else f"({args.hw[0]}, {args.hw[1]}, 3)")
+    print(f"exported {args.model_type} {shape} -> {out} ({len(blob)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

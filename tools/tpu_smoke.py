@@ -84,6 +84,19 @@ def main():
           f"in {time.time()-t0:.1f}s (incl compile)")
     ok &= n == 12 and np.asarray(out[0]).shape == (480, 640)
 
+    # AOT deployment artifact on the TPU platform: export, reload, run
+    from depth_estimation_tpu.utils.export import (
+        export_frame_program,
+        load_frame_program,
+    )
+
+    small = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    blob = export_frame_program(est, (64, 96))
+    reloaded = load_frame_program(blob)
+    d = np.abs(np.asarray(reloaded(est.params, small)) - est.predict(small)).max()
+    print(f"stablehlo export round-trip (tpu): {len(blob)} bytes, maxdiff {d:.2e}")
+    ok &= d == 0.0
+
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
