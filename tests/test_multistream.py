@@ -77,3 +77,59 @@ def test_multistream_rejects_mixed_resolutions(est):
         MultiStream(est, [])
     with pytest.raises(ValueError):
         MultiStream(est, [SyntheticSource(2, 64, 96)], outputs=[None, None])
+
+
+def test_multistream_file_sources(est, tmp_path):
+    """Real video files (native C++ decode path when built, cv2 otherwise):
+    per-stream outputs must equal the batched program driven on the decoded
+    frames, with per-stream EOF at each file's true length."""
+    import cv2
+
+    lengths = [3, 2]
+    paths = []
+    rng = np.random.default_rng(7)
+    for i, n in enumerate(lengths):
+        p = str(tmp_path / f"s{i}.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 20, (96, 64))
+        for _ in range(n):
+            w.write(rng.integers(0, 256, (64, 96, 3), np.uint8))
+        w.release()
+        paths.append(p)
+
+    sinks = [CollectSink() for _ in paths]
+    ms = MultiStream(est, paths, sinks, verbose=False)
+    ms.run()
+    assert ms.counts == lengths
+    assert [len(s.frames) for s in sinks] == lengths
+
+    # expected: decode the same files again, drive the batched program
+    from depth_estimation_tpu.runtime.video import open_source
+
+    fn = est._batched_fn((64, 96))
+    srcs = [open_source(p) for p in paths]
+    batch = np.zeros((2, 64, 96, 3), np.uint8)
+    expected = [[] for _ in srcs]
+    alive = [True, True]
+    while any(alive):
+        mask = []
+        for i, s in enumerate(srcs):
+            if alive[i]:
+                ok, f = s.read()
+                if ok:
+                    batch[i] = f
+                    mask.append(True)
+                    continue
+                alive[i] = False
+            mask.append(False)
+        if not any(mask):
+            break
+        preds = np.asarray(fn(est.params, batch))
+        for i, live in enumerate(mask):
+            if live:
+                expected[i].append(merge_gray3(preds[i].astype(np.uint8)))
+    for s in srcs:
+        s.release()
+    for i in range(2):
+        assert len(expected[i]) == lengths[i]
+        for got, want in zip(sinks[i].frames, expected[i]):
+            np.testing.assert_array_equal(got, want)
