@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lowering targets, e.g.: tpu cpu (default: current backend)")
     args = ap.parse_args(argv)
+    if args.batch != 1 and not args.batched:
+        ap.error("--batch requires --batched (a single-frame artifact has no batch axis)")
 
     from depth_estimation_tpu.estimator import DepthEstimator
     from depth_estimation_tpu.utils.export import export_frame_program

@@ -55,7 +55,7 @@ def export_frame_program(
     )
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exported = jax.export.export(fn, **kw)(params_spec, img_spec)
-    return exported.serialize()
+    return bytes(exported.serialize())  # serialize() returns a bytearray
 
 
 def load_frame_program(blob_or_path):

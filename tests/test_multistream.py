@@ -27,47 +27,56 @@ def est():
         return DepthEstimator("MiDaS_small", verbose=False)
 
 
-def test_multistream_matches_per_stream_predict(est):
-    lengths = [2, 4, 3]
-    sources = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
-    sinks = [CollectSink() for _ in lengths]
-    ms = MultiStream(est, sources, sinks, verbose=False)
-    ms.run()
-
-    assert ms.counts == lengths
-    assert [len(s.frames) for s in sinks] == lengths
-
-    # expected: the batched program on each tick's true batch, demuxed —
-    # recreate the sources (deterministic) and drive the same batches
-    sources2 = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
-    fn = est._batched_fn((64, 96))
-    batch = np.zeros((len(sources2), 64, 96, 3), np.uint8)
-    alive = [True] * len(sources2)
-    expected = [[] for _ in sources2]
+def drive_batched(est, sources, hw):
+    """Reference driver for MultiStream's semantics: read one frame per
+    live source, pad dead slots with their last frame, run the batched
+    program, demux live results. Returns per-source expected frame lists."""
+    fn = est._batched_fn(hw)
+    batch = np.zeros((len(sources), *hw, 3), np.uint8)
+    alive = [True] * len(sources)
+    expected = [[] for _ in sources]
     while any(alive):
         mask = []
-        for i, s in enumerate(sources2):
-            if not alive[i]:
-                mask.append(False)
-                continue
-            ok, f = s.read()
-            if not ok:
+        for i, s in enumerate(sources):
+            if alive[i]:
+                ok, f = s.read()
+                if ok:
+                    batch[i] = f
+                    mask.append(True)
+                    continue
                 alive[i] = False
-                mask.append(False)
-                continue
-            batch[i] = f
-            mask.append(True)
+            mask.append(False)
         if not any(mask):
             break
         preds = np.asarray(fn(est.params, batch))
         for i, live in enumerate(mask):
             if live:
                 expected[i].append(merge_gray3(preds[i].astype(np.uint8)))
+    for s in sources:
+        s.release()
+    return expected
 
-    for i in range(len(lengths)):
-        assert len(sinks[i].frames) == len(expected[i])
-        for got, want in zip(sinks[i].frames, expected[i]):
+
+def _assert_streams_match(sinks, expected, lengths):
+    assert [len(e) for e in expected] == lengths
+    for sink, exp in zip(sinks, expected):
+        assert len(sink.frames) == len(exp)
+        for got, want in zip(sink.frames, exp):
             np.testing.assert_array_equal(got, want)
+
+
+def test_multistream_matches_per_stream_predict(est):
+    lengths = [2, 4, 3]
+    sources = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
+    sinks = [CollectSink() for _ in lengths]
+    ms = MultiStream(est, sources, sinks, verbose=False)
+    ms.run()
+    assert ms.counts == lengths
+
+    # deterministic sources: recreate and drive the same batches
+    sources2 = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
+    expected = drive_batched(est, sources2, (64, 96))
+    _assert_streams_match(sinks, expected, lengths)
 
 
 def test_multistream_rejects_mixed_resolutions(est):
@@ -85,6 +94,8 @@ def test_multistream_file_sources(est, tmp_path):
     frames, with per-stream EOF at each file's true length."""
     import cv2
 
+    from depth_estimation_tpu.runtime.video import open_source
+
     lengths = [3, 2]
     paths = []
     rng = np.random.default_rng(7)
@@ -100,36 +111,7 @@ def test_multistream_file_sources(est, tmp_path):
     ms = MultiStream(est, paths, sinks, verbose=False)
     ms.run()
     assert ms.counts == lengths
-    assert [len(s.frames) for s in sinks] == lengths
 
-    # expected: decode the same files again, drive the batched program
-    from depth_estimation_tpu.runtime.video import open_source
-
-    fn = est._batched_fn((64, 96))
-    srcs = [open_source(p) for p in paths]
-    batch = np.zeros((2, 64, 96, 3), np.uint8)
-    expected = [[] for _ in srcs]
-    alive = [True, True]
-    while any(alive):
-        mask = []
-        for i, s in enumerate(srcs):
-            if alive[i]:
-                ok, f = s.read()
-                if ok:
-                    batch[i] = f
-                    mask.append(True)
-                    continue
-                alive[i] = False
-            mask.append(False)
-        if not any(mask):
-            break
-        preds = np.asarray(fn(est.params, batch))
-        for i, live in enumerate(mask):
-            if live:
-                expected[i].append(merge_gray3(preds[i].astype(np.uint8)))
-    for s in srcs:
-        s.release()
-    for i in range(2):
-        assert len(expected[i]) == lengths[i]
-        for got, want in zip(sinks[i].frames, expected[i]):
-            np.testing.assert_array_equal(got, want)
+    # expected: decode the same files again through the same source stack
+    expected = drive_batched(est, [open_source(p) for p in paths], (64, 96))
+    _assert_streams_match(sinks, expected, lengths)

@@ -95,7 +95,10 @@ def main():
     reloaded = load_frame_program(blob)
     d = np.abs(np.asarray(reloaded(est.params, small)) - est.predict(small)).max()
     print(f"stablehlo export round-trip (tpu): {len(blob)} bytes, maxdiff {d:.2e}")
-    ok &= d == 0.0
+    # the reloaded module recompiles through the Exported wrapper; allow
+    # fusion-order noise rather than demanding bitwise equality of two
+    # separately compiled executables
+    ok &= d < 1e-3
 
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
