@@ -83,14 +83,17 @@ class DPT(nn.Module):
     cfg: DPTConfig = DPT_LARGE
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, hooked=None, grid=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, hooked=None, grid=None,
+                 stem_layers=None) -> jnp.ndarray:
         """x: (B, H, W, 3) normalized, H/W multiples of 32. → (B, H, W).
 
         ``hooked``/``grid``: externally computed trunk hook activations +
         patch grid (e.g. from the pipeline-parallel trunk,
         parallel/pipeline.py::dpt_apply_pipelined) — the in-module ViT is
-        skipped and only the decoder runs. Init always runs the full model
-        so the param tree is identical either way.
+        skipped and only the decoder runs. For DPT-Hybrid, ``stem_layers``
+        must carry the two externally computed ResNet stage features.
+        Init always runs the full model so the param tree is identical
+        either way.
         """
         cfg = self.cfg
         C = cfg.embed_dim
@@ -98,10 +101,10 @@ class DPT(nn.Module):
         # hook injection never short-circuits init: the full model must run
         # then so the param tree (incl. the ViT trunk) is complete
         if hooked is not None and not self.is_initializing():
-            if cfg.hybrid:
-                raise NotImplementedError("hook injection is plain-ViT only")
+            if cfg.hybrid and stem_layers is None:
+                raise ValueError("hybrid hook injection needs stem_layers")
             gh, gw = grid
-            layers = []
+            layers = list(stem_layers) if cfg.hybrid else []
         elif cfg.hybrid:
             stem_feats, stage_outs = ResNetV2Stem(name="resnet_stem")(x)
             token_lists, (gh, gw) = ViT(

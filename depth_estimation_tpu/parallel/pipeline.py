@@ -47,28 +47,29 @@ def stack_stage_params(params: dict, depth: int, pp: int):
 
 
 def hook_table(hooks: Sequence[int], depth: int, pp: int) -> np.ndarray:
-    """(pp, k) table of stage-local block indices for each hook.
+    """(pp, k_max) table of stage-local block indices for each hook.
 
-    Every stage must capture the same number of hooks (the shard_map runs
-    one program on all stages); DPT-Large's hooks (5,11,17,23) satisfy this
-    for pp ∈ {2, 4}. DPT-Hybrid's transformer hooks (8,11) do NOT (both
-    land in the second half of its 12 blocks) — hybrid would additionally
-    need ragged per-stage hook counts, one more reason it is out of the
-    pipelined path's scope (see dpt_apply_pipelined).
+    The shard_map runs one program on all stages, so every stage gathers
+    the same number k_max of block outputs; stages owning fewer hooks are
+    padded with index 0 — padded slots are simply never read during
+    assembly (pipeline_blocks only indexes the real (stage, slot) pairs).
+    This makes ragged distributions legal: DPT-Large's hooks (5,11,17,23)
+    split evenly at pp ∈ {2, 4}, DPT-Hybrid's transformer hooks both land
+    in the last stage at pp = 2 and ride the padding.
     """
     if depth % pp:
         raise ValueError(f"depth={depth} not divisible by pp={pp}")
+    if not hooks:
+        raise ValueError("need at least one hook")
+    if any(h < 0 or h >= depth for h in hooks):
+        raise ValueError(f"hooks {tuple(hooks)} out of range for depth={depth}")
     per_stage = depth // pp
-    tbl = [
+    rows = [
         [h - s * per_stage for h in hooks if s * per_stage <= h < (s + 1) * per_stage]
         for s in range(pp)
     ]
-    k = len(tbl[0])
-    if k == 0 or any(len(row) != k for row in tbl):
-        raise ValueError(
-            f"hooks {tuple(hooks)} must be evenly distributed over {pp} stages "
-            f"of {per_stage} blocks (got per-stage counts {[len(r) for r in tbl]})"
-        )
+    k_max = max(len(r) for r in rows)
+    tbl = [r + [0] * (k_max - len(r)) for r in rows]
     return np.asarray(tbl, np.int32)
 
 
@@ -167,26 +168,30 @@ def pipeline_blocks(
 
 def vit_apply_pipelined(
     vit_params: dict,
-    x: jnp.ndarray,
+    x: Optional[jnp.ndarray],
     model,
     mesh: Mesh,
     microbatches: int,
+    patches: Optional[jnp.ndarray] = None,
 ) -> Tuple[List[jnp.ndarray], Tuple[int, int]]:
-    """Forward of a (plain, non-hybrid) ``models.vit.ViT`` with the block
-    trunk pipelined over the mesh's 'pp' axis. Mirrors ViT.__call__'s
-    embed/cls/pos glue exactly (models/vit.py:103-132); parity is CI-tested
-    (tests/test_parallel_pipeline.py)."""
+    """Forward of a ``models.vit.ViT`` with the block trunk pipelined over
+    the mesh's 'pp' axis. Mirrors ViT.__call__'s embed/cls/pos glue exactly
+    (models/vit.py:103-132); parity is CI-tested
+    (tests/test_parallel_pipeline.py). ``patches`` carries pre-computed
+    patch features for the hybrid backbone (the ResNet stem runs outside
+    the pipeline), exactly as ViT.__call__'s ``patches`` argument does."""
     import flax.linen as nn
 
     from depth_estimation_tpu.models.vit import Block, resize_pos_embed
 
-    patch_conv = nn.Conv(
-        model.embed_dim,
-        (model.patch_size, model.patch_size),
-        strides=(model.patch_size, model.patch_size),
-        padding="VALID",
-    )
-    patches = patch_conv.apply({"params": vit_params["patch_embed"]}, x)
+    if patches is None:
+        patch_conv = nn.Conv(
+            model.embed_dim,
+            (model.patch_size, model.patch_size),
+            strides=(model.patch_size, model.patch_size),
+            padding="VALID",
+        )
+        patches = patch_conv.apply({"params": vit_params["patch_embed"]}, x)
     B, gh, gw, C = patches.shape
     tokens = patches.reshape(B, gh * gw, C)
     cls_token = vit_params["cls_token"]
@@ -216,25 +221,42 @@ def dpt_apply_pipelined(variables, x, cfg, mesh: Mesh, microbatches: int = 2):
     ``variables`` is the standard DPT variable dict (models/dpt.py); the
     trunk runs through the GPipe schedule, the decoder (reassemble + fusion
     + head) consumes the pp-sharded hook buffers and runs GSPMD-replicated.
+    For DPT-Hybrid the ResNetV2 stem and 1×1 patch projection run outside
+    (replicated — they are a small fraction of the trunk) and their stage
+    features re-enter the decoder via ``stem_layers``.
     """
+    import flax.linen as nn
+
     from depth_estimation_tpu.models.dpt import DPT
     from depth_estimation_tpu.models.vit import ViT
 
     if cfg.hybrid:
-        raise NotImplementedError(
-            "pipelined trunk covers the plain-ViT DPTs; DPT-Hybrid's "
-            "ResNet-stage hooks are not transformer blocks"
+        from depth_estimation_tpu.models.resnetv2 import ResNetV2Stem
+
+        stem_feats, stage_outs = ResNetV2Stem().apply(
+            {"params": variables["params"]["resnet_stem"]}, x
         )
+        patches = nn.Conv(cfg.embed_dim, (1, 1), padding="VALID").apply(
+            {"params": variables["params"]["patch_embed"]}, stem_feats
+        )
+        vit_hooks = tuple(h for h in cfg.hooks if h >= 2)
+        stem_layers = (stage_outs[0], stage_outs[1])
+    else:
+        patches = None
+        vit_hooks = cfg.hooks
+        stem_layers = None
     vit = ViT(
         embed_dim=cfg.embed_dim,
         depth=cfg.depth,
         num_heads=cfg.num_heads,
         img_size=cfg.img_size,
-        hooks=cfg.hooks,
+        hooks=vit_hooks,
         use_pallas=cfg.use_pallas,
         dot_precision=cfg.dot_precision,
     )
     hooked, (gh, gw) = vit_apply_pipelined(
-        variables["params"]["vit"], x, vit, mesh, microbatches
+        variables["params"]["vit"], x, vit, mesh, microbatches, patches=patches
     )
-    return DPT(cfg).apply(variables, x, hooked=hooked, grid=(gh, gw))
+    return DPT(cfg).apply(
+        variables, x, hooked=hooked, grid=(gh, gw), stem_layers=stem_layers
+    )

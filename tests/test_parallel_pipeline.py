@@ -42,10 +42,17 @@ def test_hook_table():
     np.testing.assert_array_equal(tbl, [[5], [5], [5], [5]])
     tbl = hook_table((5, 11, 17, 23), 24, 2)
     np.testing.assert_array_equal(tbl, [[5, 11], [5, 11]])
-    with pytest.raises(ValueError):
-        hook_table((0, 1, 2, 3), 24, 4)  # all hooks land in stage 0
+    # ragged distributions pad hook-less stages with index 0 (never read)
+    tbl = hook_table((8, 11), 12, 2)  # DPT-Hybrid's transformer hooks
+    np.testing.assert_array_equal(tbl, [[0, 0], [2, 5]])
+    tbl = hook_table((0, 1, 2, 3), 24, 4)  # all hooks in stage 0
+    np.testing.assert_array_equal(tbl[0], [0, 1, 2, 3])
     with pytest.raises(ValueError):
         hook_table((5,), 24, 5)  # depth not divisible
+    with pytest.raises(ValueError):
+        hook_table((), 24, 4)  # no hooks
+    with pytest.raises(ValueError):
+        hook_table((24,), 24, 2)  # out of range
 
 
 def test_mesh_4d_axes():
@@ -112,6 +119,32 @@ def test_pipelined_train_step(rng):
     a = jax.tree_util.tree_leaves(s_plain.params)[0]
     b = jax.tree_util.tree_leaves(s_pp.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+TINY_HYBRID = DPTConfig(
+    embed_dim=64, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+    reassemble_channels=(256, 512, 64, 64), features=32, hybrid=True,
+    img_size=64, use_pallas=False, non_negative=False,
+)
+
+
+def test_pipelined_hybrid_forward_matches_plain(rng):
+    """DPT-Hybrid pipelines too: the ResNet stem runs outside the GPipe
+    schedule, the ViT blocks ride it with a ragged hook table (both
+    transformer hooks in the last stage)."""
+    model = DPT(TINY_HYBRID)
+    mesh = make_mesh(8, pp=2)  # dp=4
+    x = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
+    )
+    ref = model.apply(variables, x)
+    got = jax.jit(
+        lambda v, x: dpt_apply_pipelined(v, x, TINY_HYBRID, mesh, microbatches=2)
+    )(variables, x)
+    # outputs are O(10); the big 256/512-ch stem convs amplify the trunk's
+    # float-noise (~3e-6) into the low-1e-4 range — still ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
 
 
 def test_stack_stage_params_shapes(rng):
