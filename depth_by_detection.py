@@ -61,6 +61,12 @@ def main(argv=None):
         help="also run a depth net (e.g. MiDaS_small) and report the median "
         "relative inverse depth inside each detector box (on-device reduce)",
     )
+    parser.add_argument(
+        "--staged",
+        action="store_true",
+        help="run each detector net as its own dispatch (the pre-fused "
+        "path) instead of the default single-dispatch frame program",
+    )
     args = parser.parse_args(argv)
 
     estimator = None
@@ -77,6 +83,12 @@ def main(argv=None):
     writer = open_sink(args.output, (w, h), fps=20)
 
     detector = FaceDetector()
+    if args.staged:
+        runner = None
+    else:
+        from depth_estimation_tpu.runtime.fused import FusedDetectionRunner
+
+        runner = FusedDetectionRunner(detector)
     cnt = 0
 
     # calibration from credit-card test footage (depth_by_detection.py:190-192)
@@ -99,7 +111,18 @@ def main(argv=None):
         if not success:
             print("No access to video feed. Exiting...")
             break
-        mesh_points = detector.findIris(img)
+        if runner is not None:
+            # the whole detector stack (BlazeFace + cond FaceMesh/BlazePose)
+            # is ONE dispatch; all three tiers feed off its outputs
+            f_boxes, f_scores, f_valid, f_mesh, f_plm, f_pscore = runner(img)
+            detection = (f_boxes, f_scores, f_valid)
+            found = bool(np.asarray(f_valid)[0])
+            mesh_points = np.asarray(f_mesh) if found else None
+            fused_pose = (f_plm, f_pscore) if not found else None
+        else:
+            mesh_points = detector.findIris(img)
+            detection = None
+            fused_pose = None
         if mesh_points is not None:
             from depth_estimation_tpu.detect.circle import min_enclosing_circle
 
@@ -150,7 +173,7 @@ def main(argv=None):
         else:
             # TIER 2 — face bbox + median head width (depth_by_detection.py:252-274)
             _put_text(img, "Landmarks not detected. Using face boundaries.", (70, 50), (255, 0, 0))
-            img, bboxes = detector.findFaces(img)
+            img, bboxes = detector.findFaces(img, detection=detection)
             if estimator is not None and bboxes:
                 # config 5: per-ROI median relative inverse depth, on-device
                 from depth_estimation_tpu.ops.sampling import rois_median_depth
@@ -184,7 +207,11 @@ def main(argv=None):
             else:
                 # TIER 3 — body pose (depth_by_detection.py:276-287)
                 _put_text(img, "Face not detected. Using body pose estimates.", (70, 100), (255, 0, 0))
-                img, head_pts = detector.findBody(img)
+                if fused_pose is not None:
+                    # BlazePose already ran in the fused dispatch (cond miss)
+                    img, head_pts = detector.body_from_fused(img, *fused_pose)
+                else:
+                    img, head_pts = detector.findBody(img)
                 if head_measurements and len(head_pts) >= 2 and np.linalg.norm(head_pts[0] - head_pts[1]) > 0:
                     s2c_d3 = cm_to_ft(
                         s2c_dist(f, median(head_measurements), float(np.linalg.norm(head_pts[0] - head_pts[1]))) / 10

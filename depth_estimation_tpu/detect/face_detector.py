@@ -35,12 +35,17 @@ class FaceDetector:
         self.w: Optional[int] = None
         self.h: Optional[int] = None
 
-    def findFaces(self, img: np.ndarray, draw: bool = True):
-        """Face bboxes with id/score/center dicts (depth_by_detection.py:32-60)."""
+    def findFaces(self, img: np.ndarray, draw: bool = True, detection=None):
+        """Face bboxes with id/score/center dicts (depth_by_detection.py:32-60).
+
+        ``detection``: optional precomputed (boxes, scores, valid) from the
+        fused single-dispatch program (runtime/fused.py) — skips the extra
+        BlazeFace dispatch."""
         h, w = img.shape[:2]
-        fn = self._impl._detect_fn((h, w), "face")
-        boxes, scores, valid = fn(self._impl._face_det_params, img)
-        boxes, scores, valid = np.asarray(boxes), np.asarray(scores), np.asarray(valid)
+        if detection is None:
+            fn = self._impl._detect_fn((h, w), "face")
+            detection = fn(self._impl._face_det_params, img)
+        boxes, scores, valid = (np.asarray(a) for a in detection)
         bboxs = []
         for i in range(len(scores)):
             if not valid[i]:
@@ -73,6 +78,11 @@ class FaceDetector:
 
     def findBody(self, img: np.ndarray):
         return self._impl.findBody(img)
+
+    def body_from_fused(self, img: np.ndarray, lm, score):
+        """findBody's host half on pose landmarks the fused program already
+        computed (runtime/fused.py tier-3 branch)."""
+        return self._impl.body_from_fused(img, lm, score)
 
     def _draw_box(self, img, bbox, score):
         try:

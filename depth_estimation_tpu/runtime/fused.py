@@ -15,11 +15,15 @@ joins the SAME program. The detection-dependent face crop is a gather-based
 rect crop-resize (ops/sampling.py::crop_resize_bilinear_rect — dynamic box,
 static output shape), the 478-landmark mesh is mapped to frame pixels, and
 the two iris min-enclosing circles are fit on device
-(detect/circle.py::min_enclosing_circle_jax). The mesh branch runs under
-``lax.cond`` so face-less frames skip the landmark networks entirely. The
-whole reference iris path (midas_mediapipe.py:51-74) thus becomes ONE XLA
-dispatch per frame with zero mid-frame host synchronization; only the
-BlazePose fallback (taken on detection miss) remains a separate dispatch.
+(detect/circle.py::min_enclosing_circle_jax). The landmark stage runs
+under ``lax.cond``: FaceMesh+iris on detection hit, the BlazePose
+fallback on miss (``include_pose=True``) — so the whole reference fused
+loop (midas_mediapipe.py:51-117) is ONE XLA dispatch per frame whichever
+path the frame takes, with zero mid-frame host synchronization.
+
+``make_fused_detection_frame_fn`` gives the detection-only pipeline
+(depth_by_detection.py) the same treatment: one BlazeFace pass feeds all
+three fallback tiers, with FaceMesh/BlazePose under the cond.
 """
 
 from __future__ import annotations
@@ -240,3 +244,100 @@ class FusedFrameRunner:
                 img_u8,
             )
         return fn(self.estimator.params, self.detector._face_det_params, img_u8)
+
+
+def make_fused_detection_frame_fn(detector, in_hw: Tuple[int, int]):
+    """The detection-only pipeline's WHOLE per-frame detector stack
+    (depth_by_detection.py:196-287) as one XLA program.
+
+    Returns fn(face_params, mesh_params, pose_params, img_u8) ->
+      (boxes (M, 16), scores (M,), valid (M,),
+       mesh_pts (478, 2) i32 frame pixels,      # tier-1 branch
+       pose_lm (33, 5) f32, pose_score f32)     # tier-3 branch (miss)
+
+    One BlazeFace pass feeds all three tiers: its decoded boxes drive the
+    lax.cond between FaceMesh (hit — reproducing FaceDetector.findIris's
+    crop box, BGR-feed quirk when ``detector.faithful``, landmark→frame
+    mapping and int truncation, depth_by_detection.py:62-82) and the
+    BlazePose fallback (miss), and the same boxes serve tier 2's
+    ``findFaces`` on host with zero extra dispatches. Iris circle fits stay
+    host-side (4-point numpy MEC — no device work to save).
+    """
+    impl = detector._impl
+    face_model, mesh_model, pose_model = impl._face_det, impl._mesh, impl._pose
+    anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+    thresh = detector.minDetectionCon
+    h, w = in_hw
+    faithful = detector.faithful
+
+    @jax.jit
+    def fused(face_params, mesh_params, pose_params, img_u8):
+        rgb01 = img_u8[..., ::-1].astype(jnp.float32) / 255.0
+
+        # detection (mirrors PersonDetector._detect_fn 'face')
+        xd = rgb01 * 2.0 - 1.0
+        xd = resize2d(xd, (128, 128), method="linear", align_corners=False)
+        raw_boxes, raw_scores = face_model.apply(face_params, xd[None])
+        boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
+        scores = decode_scores(raw_scores[0])
+        boxes, scores, valid = weighted_nms(
+            boxes, scores, iou_threshold=0.3, score_threshold=thresh
+        )
+
+        # crop box exactly as _best_face_box (25% margin, truncating int
+        # casts, ordered clips)
+        ymin, xmin, ymax, xmax = boxes[0, 0], boxes[0, 1], boxes[0, 2], boxes[0, 3]
+        bw, bh = xmax - xmin, ymax - ymin
+        x0 = jnp.trunc(jnp.clip((xmin - 0.25 * bw) * w, 0.0, w - 2.0))
+        x1 = jnp.trunc(jnp.clip((xmax + 0.25 * bw) * w, x0 + 1.0, float(w)))
+        y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
+        y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
+
+        # FaceDetector.findIris feeds the BGR frame to the mesh when
+        # faithful (the reference computes imgRGB then processes img,
+        # depth_by_detection.py:67-75)
+        feed01 = img_u8.astype(jnp.float32) / 255.0 if faithful else rgb01
+
+        def tier1(_):
+            crop = crop_resize_bilinear_rect(
+                feed01, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
+            )
+            lm, _score = mesh_model.apply(mesh_params, crop[None])
+            lm = lm[0]
+            sx = (x1 - x0) / 192.0
+            sy = (y1 - y0) / 192.0
+            pts = jnp.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1)
+            pts = jnp.trunc(pts).astype(jnp.int32)  # host .astype(int)
+            return pts, jnp.zeros((33, 5), jnp.float32), jnp.float32(0.0)
+
+        def tier3(_):
+            p = resize2d(rgb01, (256, 256), method="linear", align_corners=False)
+            plm, pscore = pose_model.apply(pose_params, p[None])
+            return jnp.zeros((478, 2), jnp.int32), plm[0], pscore[0]
+
+        mesh_pts, pose_lm, pose_score = jax.lax.cond(
+            valid[0], tier1, tier3, operand=None
+        )
+        return boxes, scores, valid, mesh_pts, pose_lm, pose_score
+
+    return fused
+
+
+class FusedDetectionRunner:
+    """Caches the fused detection program per source resolution; one
+    dispatch per frame for the 3-tier fallback pipeline."""
+
+    def __init__(self, detector):
+        self.detector = detector
+        self._cache = {}
+
+    def __call__(self, img_u8):
+        key = img_u8.shape[:2]
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_fused_detection_frame_fn(self.detector, key)
+            self._cache[key] = fn
+        impl = self.detector._impl
+        return fn(
+            impl._face_det_params, impl._mesh_params, impl._pose_params, img_u8
+        )
