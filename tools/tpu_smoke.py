@@ -84,6 +84,16 @@ def main():
           f"in {time.time()-t0:.1f}s (incl compile)")
     ok &= n == 12 and np.asarray(out[0]).shape == (480, 640)
 
+    # detection-only 3-tier program (depth_by_detection's default path)
+    from depth_estimation_tpu.detect.face_detector import FaceDetector
+    from depth_estimation_tpu.runtime.fused import FusedDetectionRunner
+
+    t0 = time.time()
+    dout = FusedDetectionRunner(FaceDetector())(img)
+    print(f"fused detection program: {len(dout)} outputs, mesh "
+          f"{np.asarray(dout[3]).shape} in {time.time()-t0:.1f}s (incl compile)")
+    ok &= len(dout) == 6 and np.asarray(dout[3]).shape == (478, 2)
+
     # AOT deployment artifact on the TPU platform: export, reload, run
     from depth_estimation_tpu.utils.export import (
         export_frame_program,
