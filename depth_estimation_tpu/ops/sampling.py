@@ -147,3 +147,48 @@ def rois_median_depth(depth: jnp.ndarray, boxes_yxyx: jnp.ndarray, valid: jnp.nd
 
     meds = jax.vmap(lambda b: roi_median_depth(depth, b))(boxes_yxyx)
     return jnp.where(valid, meds, jnp.nan)
+
+
+def crop_resize_linear_matmul(img: jnp.ndarray, box_xywh: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """``crop_resize_bilinear_rect`` as two dense contractions.
+
+    Identical sampling semantics (crop-then-resize border clamping), but
+    instead of dynamic gathers — lane-hostile on TPU — the interpolation
+    weights become dense (out, in) matrices built with broadcasted iota
+    comparisons, and the sampling runs as two matmuls on the MXU (the same
+    trick ops/resize.py uses for static resizes, extended to a dynamic,
+    traced box). Weight build is elementwise; contraction cost
+    out_h·H·W·C + out_h·out_w·W·C flops.
+
+    Weights are exact one-hot pairs ((1-t)·[x=xi] + t·[x=xi+1]; the clamped
+    duplicate-index case sums to 1 exactly as the gather path's tl==tr
+    blend), and the dots run at HIGHEST precision so numerics match the
+    gather implementation to f32 rounding.
+    """
+    h, w = img.shape[0], img.shape[1]
+    out_h, out_w = out_hw
+    x0, y0 = box_xywh[0], box_xywh[1]
+    bw, bh = box_xywh[2], box_xywh[3]
+    sx = bw / out_w
+    sy = bh / out_h
+    xs = x0 + jnp.clip((jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5, 0.0, bw - 1.0)
+    ys = y0 + jnp.clip((jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5, 0.0, bh - 1.0)
+    xf = jnp.floor(xs)
+    yf = jnp.floor(ys)
+    tx = xs - xf
+    ty = ys - yf
+    xi = xf.astype(jnp.int32)
+    yi = yf.astype(jnp.int32)
+    xi1 = jnp.minimum(xi + 1, (x0 + bw - 1).astype(jnp.int32))
+    yi1 = jnp.minimum(yi + 1, (y0 + bh - 1).astype(jnp.int32))
+
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.int32)[None, :]
+    w_col = (cols == xi[:, None]) * (1.0 - tx[:, None]) + (cols == xi1[:, None]) * tx[:, None]
+    w_row = (rows == yi[:, None]) * (1.0 - ty[:, None]) + (rows == yi1[:, None]) * ty[:, None]
+
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("ih,hwc->iwc", w_row, img, precision=hi)
+    return jnp.einsum("iwc,jw->ijc", tmp, w_col, precision=hi)

@@ -11,9 +11,10 @@ from a single uint8 frame already resident on device — the detect-then-
 reduce design of the BASELINE north star.
 
 ``make_fused_iris_frame_fn`` goes further: the FaceMesh+iris landmark stage
-joins the SAME program. The detection-dependent face crop is a gather-based
-rect crop-resize (ops/sampling.py::crop_resize_bilinear_rect — dynamic box,
-static output shape), the 478-landmark mesh is mapped to frame pixels, and
+joins the SAME program. The detection-dependent face crop samples via two
+dense MXU contractions (ops/sampling.py::crop_resize_linear_matmul —
+dynamic box, static output shape; gather fallback available, see
+CROP_VIA_MATMUL), the 478-landmark mesh is mapped to frame pixels, and
 the two iris min-enclosing circles are fit on device
 (detect/circle.py::min_enclosing_circle_jax). The landmark stage runs
 under ``lax.cond``: FaceMesh+iris on detection hit, the BlazePose
@@ -45,7 +46,24 @@ from depth_estimation_tpu.detect.anchors import (
 from depth_estimation_tpu.detect.circle import min_enclosing_circle_jax
 from depth_estimation_tpu.ops.preprocess import compute_resize_shape
 from depth_estimation_tpu.ops.resize import resize2d
-from depth_estimation_tpu.ops.sampling import crop_resize_bilinear_rect
+from depth_estimation_tpu.ops.sampling import (
+    crop_resize_bilinear_rect,
+    crop_resize_linear_matmul,
+)
+
+# The dynamic face crop can sample via gathers (crop_resize_bilinear_rect)
+# or as two dense MXU contractions (crop_resize_linear_matmul) — identical
+# numerics (≤2e-7). On-chip A/B (BASELINE.md): the matmul form wins; it is
+# the default for every fused program. DEPTH_TPU_CROP_IMPL=gather re-A/Bs
+# the gather form.
+import os as _os
+
+CROP_VIA_MATMUL = _os.environ.get("DEPTH_TPU_CROP_IMPL", "matmul") != "gather"
+
+
+def _crop_resize(img, box, out_hw):
+    fn = crop_resize_linear_matmul if CROP_VIA_MATMUL else crop_resize_bilinear_rect
+    return fn(img, box, out_hw)
 
 
 def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
@@ -153,7 +171,7 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
         zero_pose = (jnp.zeros((33, 5), jnp.float32), jnp.float32(0.0))
 
         def run_mesh(_):
-            crop = crop_resize_bilinear_rect(
+            crop = _crop_resize(
                 rgb, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
             )
             lm, score = mesh_model.apply(mesh_params, crop[None])
@@ -299,7 +317,7 @@ def make_fused_detection_frame_fn(detector, in_hw: Tuple[int, int]):
         feed01 = img_u8.astype(jnp.float32) / 255.0 if faithful else rgb01
 
         def tier1(_):
-            crop = crop_resize_bilinear_rect(
+            crop = _crop_resize(
                 feed01, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
             )
             lm, _score = mesh_model.apply(mesh_params, crop[None])
