@@ -67,6 +67,10 @@ def main(argv=None):
         help="run each detector net as its own dispatch (the pre-fused "
         "path) instead of the default single-dispatch frame program",
     )
+    parser.add_argument("--trace", nargs="?", const="./jax_trace", default=None,
+                        metavar="DIR",
+                        help="capture a jax.profiler xplane device trace of "
+                        "the run (view with xprof/TensorBoard)")
     args = parser.parse_args(argv)
 
     estimator = None
@@ -102,6 +106,13 @@ def main(argv=None):
         import cv2
     except ImportError:
         cv2 = None
+
+    import contextlib
+
+    from depth_estimation_tpu.runtime.tracing import maybe_trace
+
+    _trace_stack = contextlib.ExitStack()
+    tdir = _trace_stack.enter_context(maybe_trace(args.trace is not None, args.trace))
 
     while video.is_opened():
         cnt += 1
@@ -218,6 +229,9 @@ def main(argv=None):
                     )
                     _put_text(img, f"S2C dist (ft): {s2c_d3}", (50, 150), (0, 255, 0))
                 writer.write(img)
+    _trace_stack.close()
+    if tdir:
+        print(f"Trace written to {tdir}")
     video.release()
     writer.release()
 

@@ -32,12 +32,21 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--trace", nargs="?", const="./jax_trace", default=None,
+                        metavar="DIR",
+                        help="capture a jax.profiler xplane device trace of "
+                        "the run (view with xprof/TensorBoard)")
     args = parser.parse_args(argv)
 
     midas = DepthEstimator(args.model_type, dtype=args.dtype)
     video_stream = VidStream(midas, args.src, args.output, verbose=not args.quiet,
                              start_frame=args.start_frame)
-    video_stream.update()
+    from depth_estimation_tpu.runtime.tracing import maybe_trace
+
+    with maybe_trace(args.trace is not None, args.trace) as tdir:
+        video_stream.update()
+    if tdir:
+        print(f"Trace written to {tdir}")
     summary = video_stream.timer.summary()
     if "depth" in summary:
         s = summary["depth"]

@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
     parser.add_argument("--no-fused", action="store_true",
                         help="run depth and detection as separate dispatches")
+    parser.add_argument("--trace", nargs="?", const="./jax_trace", default=None,
+                        metavar="DIR",
+                        help="capture a jax.profiler xplane device trace of "
+                        "the run (view with xprof/TensorBoard)")
     args = parser.parse_args(argv)
 
     # raw coordinates for card from test data (midas_mediapipe.py:174)
@@ -50,7 +54,12 @@ def main(argv=None):
     video_stream = VidStream(estimator, detector, face, args.src, args.output,
                              verbose=not args.quiet, fused=not args.no_fused,
                              start_frame=args.start_frame)
-    video_stream.stream()
+    from depth_estimation_tpu.runtime.tracing import maybe_trace
+
+    with maybe_trace(args.trace is not None, args.trace) as tdir:
+        video_stream.stream()
+    if tdir:
+        print(f"Trace written to {tdir}")
 
 
 if __name__ == "__main__":
