@@ -93,13 +93,11 @@ def main(argv=None):
         from depth_estimation_tpu.runtime.fused import FusedDetectionRunner
 
         runner = FusedDetectionRunner(detector)
-    cnt = 0
 
     # calibration from credit-card test footage (depth_by_detection.py:190-192)
     w_pix = dist_euclid((CARD[0], CARD[2]), (CARD[1], CARD[3]))
     d_2_obj = in_to_mm(20)
     f = f_length(d_2_obj, w_object=82.6, w_pix=w_pix)
-    w_real = 11.7  # standard iris diameter, mm
     head_measurements = []
 
     try:
@@ -113,7 +111,20 @@ def main(argv=None):
 
     _trace_stack = contextlib.ExitStack()
     tdir = _trace_stack.enter_context(maybe_trace(args.trace is not None, args.trace))
+    try:
+        _loop(args, video, writer, detector, runner, estimator, f, head_measurements, cv2)
+    finally:
+        # stop the profiler and release IO even if the loop raises
+        _trace_stack.close()
+        if tdir:
+            print(f"Trace written to {tdir}")
+        video.release()
+        writer.release()
 
+
+def _loop(args, video, writer, detector, runner, estimator, f, head_measurements, cv2):
+    cnt = 0
+    w_real = 11.7  # standard iris diameter, mm
     while video.is_opened():
         cnt += 1
         if not args.quiet:
@@ -229,12 +240,6 @@ def main(argv=None):
                     )
                     _put_text(img, f"S2C dist (ft): {s2c_d3}", (50, 150), (0, 255, 0))
                 writer.write(img)
-    _trace_stack.close()
-    if tdir:
-        print(f"Trace written to {tdir}")
-    video.release()
-    writer.release()
-
 
 if __name__ == "__main__":
     main()

@@ -66,6 +66,48 @@ def _crop_resize(img, box, out_hw):
     return fn(img, box, out_hw)
 
 
+def _blazeface_branch(face_model, face_params, anchors, thresh, rgb01):
+    """BlazeFace detect on a /255 RGB frame — mirrors
+    PersonDetector._detect_fn('face') exactly."""
+    d = resize2d(rgb01 * 2.0 - 1.0, (128, 128), method="linear", align_corners=False)
+    raw_boxes, raw_scores = face_model.apply(face_params, d[None])
+    boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
+    scores = decode_scores(raw_scores[0])
+    return weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=thresh)
+
+
+def _crop_box(boxes, h, w):
+    """Face crop box exactly as _best_face_box: 25% margin, truncating int
+    casts, ordered clips (detect/person_detector.py:162-179)."""
+    ymin, xmin, ymax, xmax = boxes[0, 0], boxes[0, 1], boxes[0, 2], boxes[0, 3]
+    bw, bh = xmax - xmin, ymax - ymin
+    x0 = jnp.trunc(jnp.clip((xmin - 0.25 * bw) * w, 0.0, w - 2.0))
+    x1 = jnp.trunc(jnp.clip((xmax + 0.25 * bw) * w, x0 + 1.0, float(w)))
+    y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
+    y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
+    return x0, x1, y0, y1
+
+
+def _mesh_landmarks(mesh_model, mesh_params, feed01, x0, x1, y0, y1):
+    """FaceMesh on the dynamic crop + landmark→frame-pixel mapping with the
+    host path's truncating int cast (findIris semantics)."""
+    crop = _crop_resize(feed01, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192))
+    lm, score = mesh_model.apply(mesh_params, crop[None])
+    lm, score = lm[0], score[0]
+    sx = (x1 - x0) / 192.0
+    sy = (y1 - y0) / 192.0
+    mesh = jnp.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1)
+    return jnp.trunc(mesh).astype(jnp.int32), score  # host .astype(int)
+
+
+def _pose_branch(pose_model, pose_params, rgb01):
+    """BlazePose on the full frame exactly as the staged findBody feeds it
+    (person_detector.py::_pose_fn — /255 then 256² linear resize)."""
+    p = resize2d(rgb01, (256, 256), method="linear", align_corners=False)
+    plm, pscore = pose_model.apply(pose_params, p[None])
+    return plm[0], pscore[0]
+
+
 def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     """Returns fn(depth_params, face_params, img_u8) ->
     (depth (H, W) f32, boxes (M, 16), scores (M,), valid (M,))."""
@@ -153,33 +195,13 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
         depth = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
 
         # detection branch (shares the rgb f32 conversion)
-        d = resize2d(rgb * 2.0 - 1.0, (128, 128), method="linear", align_corners=False)
-        raw_boxes, raw_scores = face_model.apply(face_params, d[None])
-        boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
-        scores = decode_scores(raw_scores[0])
-        boxes, scores, valid = weighted_nms(boxes, scores, iou_threshold=0.3, score_threshold=thresh)
-
-        # mesh branch — crop box exactly as _best_face_box (25% margin,
-        # truncating int casts, ordered clips)
-        ymin, xmin, ymax, xmax = boxes[0, 0], boxes[0, 1], boxes[0, 2], boxes[0, 3]
-        bw, bh = xmax - xmin, ymax - ymin
-        x0 = jnp.trunc(jnp.clip((xmin - 0.25 * bw) * w, 0.0, w - 2.0))
-        x1 = jnp.trunc(jnp.clip((xmax + 0.25 * bw) * w, x0 + 1.0, float(w)))
-        y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
-        y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
+        boxes, scores, valid = _blazeface_branch(face_model, face_params, anchors, thresh, rgb)
+        x0, x1, y0, y1 = _crop_box(boxes, h, w)
 
         zero_pose = (jnp.zeros((33, 5), jnp.float32), jnp.float32(0.0))
 
         def run_mesh(_):
-            crop = _crop_resize(
-                rgb, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
-            )
-            lm, score = mesh_model.apply(mesh_params, crop[None])
-            lm, score = lm[0], score[0]
-            sx = (x1 - x0) / 192.0
-            sy = (y1 - y0) / 192.0
-            mesh = jnp.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1)
-            mesh = jnp.trunc(mesh).astype(jnp.int32)  # host .astype(int)
+            mesh, score = _mesh_landmarks(mesh_model, mesh_params, rgb, x0, x1, y0, y1)
             l_c, l_r = min_enclosing_circle_jax(mesh[l_iris_idx].astype(jnp.float32))
             r_c, r_r = min_enclosing_circle_jax(mesh[r_iris_idx].astype(jnp.float32))
             out = (mesh, score, l_c, l_r, r_c, r_r)
@@ -197,12 +219,8 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
             )
             if not include_pose:
                 return out
-            # miss branch = the reference's body-pose fallback: BlazePose on
-            # the full frame, exactly as the staged findBody feeds it
-            # (person_detector.py::_pose_fn — /255 then 256² linear resize)
-            p = resize2d(rgb, (256, 256), method="linear", align_corners=False)
-            plm, pscore = pose_model.apply(pose_params, p[None])
-            return out + (plm[0], pscore[0])
+            # miss branch = the reference's body-pose fallback
+            return out + _pose_branch(pose_model, pose_params, rgb)
 
         fused_out = jax.lax.cond(valid[0], run_mesh, skip_mesh, operand=None)
         return (depth, boxes, scores, valid) + fused_out
@@ -291,47 +309,21 @@ def make_fused_detection_frame_fn(detector, in_hw: Tuple[int, int]):
     @jax.jit
     def fused(face_params, mesh_params, pose_params, img_u8):
         rgb01 = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-
-        # detection (mirrors PersonDetector._detect_fn 'face')
-        xd = rgb01 * 2.0 - 1.0
-        xd = resize2d(xd, (128, 128), method="linear", align_corners=False)
-        raw_boxes, raw_scores = face_model.apply(face_params, xd[None])
-        boxes = decode_boxes(raw_boxes[0], anchors, 128.0)
-        scores = decode_scores(raw_scores[0])
-        boxes, scores, valid = weighted_nms(
-            boxes, scores, iou_threshold=0.3, score_threshold=thresh
-        )
-
-        # crop box exactly as _best_face_box (25% margin, truncating int
-        # casts, ordered clips)
-        ymin, xmin, ymax, xmax = boxes[0, 0], boxes[0, 1], boxes[0, 2], boxes[0, 3]
-        bw, bh = xmax - xmin, ymax - ymin
-        x0 = jnp.trunc(jnp.clip((xmin - 0.25 * bw) * w, 0.0, w - 2.0))
-        x1 = jnp.trunc(jnp.clip((xmax + 0.25 * bw) * w, x0 + 1.0, float(w)))
-        y0 = jnp.trunc(jnp.clip((ymin - 0.25 * bh) * h, 0.0, h - 2.0))
-        y1 = jnp.trunc(jnp.clip((ymax + 0.25 * bh) * h, y0 + 1.0, float(h)))
-
-        # FaceDetector.findIris feeds the BGR frame to the mesh when
-        # faithful (the reference computes imgRGB then processes img,
-        # depth_by_detection.py:67-75)
-        feed01 = img_u8.astype(jnp.float32) / 255.0 if faithful else rgb01
+        boxes, scores, valid = _blazeface_branch(face_model, face_params, anchors, thresh, rgb01)
+        x0, x1, y0, y1 = _crop_box(boxes, h, w)
 
         def tier1(_):
-            crop = _crop_resize(
-                feed01, jnp.stack([x0, y0, x1 - x0, y1 - y0]), (192, 192)
-            )
-            lm, _score = mesh_model.apply(mesh_params, crop[None])
-            lm = lm[0]
-            sx = (x1 - x0) / 192.0
-            sy = (y1 - y0) / 192.0
-            pts = jnp.stack([x0 + lm[:, 0] * sx, y0 + lm[:, 1] * sy], axis=-1)
-            pts = jnp.trunc(pts).astype(jnp.int32)  # host .astype(int)
+            # FaceDetector.findIris feeds the BGR frame to the mesh when
+            # faithful (the reference computes imgRGB then processes img,
+            # depth_by_detection.py:67-75); computed inside the branch so
+            # miss frames never pay the full-frame conversion
+            feed01 = img_u8.astype(jnp.float32) / 255.0 if faithful else rgb01
+            pts, _score = _mesh_landmarks(mesh_model, mesh_params, feed01, x0, x1, y0, y1)
             return pts, jnp.zeros((33, 5), jnp.float32), jnp.float32(0.0)
 
         def tier3(_):
-            p = resize2d(rgb01, (256, 256), method="linear", align_corners=False)
-            plm, pscore = pose_model.apply(pose_params, p[None])
-            return jnp.zeros((478, 2), jnp.int32), plm[0], pscore[0]
+            plm, pscore = _pose_branch(pose_model, pose_params, rgb01)
+            return jnp.zeros((478, 2), jnp.int32), plm, pscore
 
         mesh_pts, pose_lm, pose_score = jax.lax.cond(
             valid[0], tier1, tier3, operand=None
@@ -343,7 +335,12 @@ def make_fused_detection_frame_fn(detector, in_hw: Tuple[int, int]):
 
 class FusedDetectionRunner:
     """Caches the fused detection program per source resolution; one
-    dispatch per frame for the 3-tier fallback pipeline."""
+    dispatch per frame for the 3-tier fallback pipeline.
+
+    Returns host numpy (one ``jax.device_get`` of the whole output tuple):
+    every output is small and all three tiers consume them on host, so a
+    single transfer beats per-array ``np.asarray`` fetches — through a
+    tunneled TPU each fetch is its own ~100 ms round trip."""
 
     def __init__(self, detector):
         self.detector = detector
@@ -356,6 +353,6 @@ class FusedDetectionRunner:
             fn = make_fused_detection_frame_fn(self.detector, key)
             self._cache[key] = fn
         impl = self.detector._impl
-        return fn(
-            impl._face_det_params, impl._mesh_params, impl._pose_params, img_u8
+        return jax.device_get(
+            fn(impl._face_det_params, impl._mesh_params, impl._pose_params, img_u8)
         )
