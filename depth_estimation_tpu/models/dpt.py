@@ -54,6 +54,9 @@ class DPTConfig:
     # Optional NamedSharding for the trunk's token activations — sequence
     # parallelism over a mesh 'sp' axis (parallel/mesh.py::seq_sharding).
     act_sharding: object = None
+    # Per-block rematerialisation of the ViT trunk for training memory
+    # (models/vit.py ``remat``); inference-neutral, param tree unchanged.
+    remat: bool = False
 
 
 DPT_LARGE = DPTConfig()
@@ -115,6 +118,7 @@ class DPT(nn.Module):
                 hooks=tuple(h for h in cfg.hooks if h >= 2),
                 use_pallas=cfg.use_pallas,
                 dot_precision=cfg.dot_precision,
+                remat=cfg.remat,
                 name="vit",
             )(x, patches=nn.Conv(C, (1, 1), padding="VALID", name="patch_embed")(stem_feats))
             layers = [stage_outs[0], stage_outs[1]]  # stride 4 / 8 conv features
@@ -129,6 +133,7 @@ class DPT(nn.Module):
                 use_pallas=cfg.use_pallas,
                 dot_precision=cfg.dot_precision,
                 act_sharding=cfg.act_sharding,
+                remat=cfg.remat,
                 name="vit",
             )(x)
             layers = []

@@ -103,6 +103,11 @@ class ViT(nn.Module):
     # on entry and after every block; GSPMD inserts the K/V all-gathers the
     # attention needs and keeps LayerNorm/MLP token-sharded.
     act_sharding: object = None
+    # Per-block rematerialisation (nn.remat): backward recomputes each
+    # block's activations from its input instead of storing them — the
+    # real memory/FLOPs trade for training at bigger batches. Param tree
+    # is unchanged.
+    remat: bool = False
 
     def _constrain(self, tokens):
         if self.act_sharding is None:
@@ -136,10 +141,11 @@ class ViT(nn.Module):
         tokens = tokens + resize_pos_embed(pos_embed, (gh, gw), self.img_size // self.patch_size)
         tokens = self._constrain(tokens)
 
+        block_cls = nn.remat(Block) if self.remat else Block
         hooked = {}
         for i in range(self.depth):
-            tokens = Block(self.embed_dim, self.num_heads, use_pallas=self.use_pallas,
-                           dot_precision=self.dot_precision, name=f"blocks_{i}")(tokens)
+            tokens = block_cls(self.embed_dim, self.num_heads, use_pallas=self.use_pallas,
+                               dot_precision=self.dot_precision, name=f"blocks_{i}")(tokens)
             tokens = self._constrain(tokens)
             if i in self.hooks:
                 hooked[i] = tokens

@@ -190,3 +190,21 @@ def test_sp_sharded_forward_matches_plain(rng):
         state, loss = step(state, shard_batch(x, mesh), shard_batch(gt, mesh))
         jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
+
+
+def test_remat_trunk_matches_plain(rng):
+    """DPTConfig.remat changes the backward schedule, not the math or the
+    param tree: same init structure, same forward, finite grads."""
+    import dataclasses
+
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    model, model_r = DPT(TINY), DPT(cfg_r)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    v_r = jax.jit(model_r.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_r)
+    np.testing.assert_allclose(
+        np.asarray(model_r.apply(v, x)), np.asarray(model.apply(v, x)), atol=1e-5
+    )
+    g = jax.grad(lambda vv: jnp.sum(model_r.apply(vv, x) ** 2))(v)
+    assert all(np.isfinite(np.asarray(a)).all() for a in jax.tree_util.tree_leaves(g))
