@@ -11,7 +11,7 @@ default behavior matches.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

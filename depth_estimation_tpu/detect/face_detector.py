@@ -16,7 +16,6 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from depth_estimation_tpu.detect.circle import min_enclosing_circle
 from depth_estimation_tpu.detect.person_detector import PersonDetector
 
 

@@ -25,7 +25,7 @@ pure name/layout transpose (utils/convert.py).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

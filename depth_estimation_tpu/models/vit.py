@@ -16,7 +16,7 @@ depth_midas.py:13) are timm ViTs with activation hooks at 4 depths
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

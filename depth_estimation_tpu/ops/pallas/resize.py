@@ -19,7 +19,7 @@ or off-TPU (tests run them in interpret mode).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ three fallback tiers, with FaceMesh/BlazePose under the cond.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

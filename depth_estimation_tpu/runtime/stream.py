@@ -19,7 +19,6 @@ sequentially on one thread.
 from __future__ import annotations
 
 from statistics import median
-from typing import Optional
 
 import numpy as np
 
