@@ -31,6 +31,7 @@ def fit(
     steps: int,
     lr: float = 1e-4,
     alpha: float = 0.5,
+    accum_steps: int = 1,
     mesh=None,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 100,
@@ -52,7 +53,8 @@ def fit(
         if verbose:
             print(f"resumed from step {int(state.step)}")
 
-    step_fn = make_train_step(model_apply, tx, alpha=alpha, donate=False)
+    step_fn = make_train_step(model_apply, tx, alpha=alpha, donate=False,
+                              accum_steps=accum_steps)
     it: Iterator = iter(data)
     history = []
     start = int(state.step)

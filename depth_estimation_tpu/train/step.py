@@ -54,13 +54,44 @@ def loss_fn(model_apply: Callable, params, images, gt_disparity, alpha: float = 
 
 
 def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
-                    alpha: float = 0.5, donate: bool = True):
-    """step(state, images, gt) -> (state, loss), one XLA program."""
+                    alpha: float = 0.5, donate: bool = True,
+                    accum_steps: int = 1):
+    """step(state, images, gt) -> (state, loss), one XLA program.
+
+    ``accum_steps > 1`` splits the batch into that many equal microbatches
+    and accumulates gradients under ``lax.scan`` before the single
+    optimizer update — the large-effective-batch lever when activations
+    for the full batch don't fit HBM. Both losses are per-image means, so
+    the averaged microbatch gradients equal the full-batch gradient (up to
+    float association); equality is CI-tested.
+    """
+
+    def grads_of(params, images, gt):
+        return jax.value_and_grad(
+            lambda p: loss_fn(model_apply, p, images, gt, alpha)
+        )(params)
 
     def step(state: TrainState, images, gt):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(model_apply, p, images, gt, alpha)
-        )(state.params)
+        if accum_steps == 1:
+            loss, grads = grads_of(state.params, images, gt)
+        else:
+            b = images.shape[0]
+            if b % accum_steps:
+                raise ValueError(f"batch {b} not divisible by accum_steps={accum_steps}")
+            im = images.reshape(accum_steps, b // accum_steps, *images.shape[1:])
+            g = gt.reshape(accum_steps, b // accum_steps, *gt.shape[1:])
+
+            def body(carry, xs):
+                acc_loss, acc_g = carry
+                l, gr = grads_of(state.params, xs[0], xs[1])
+                return (acc_loss + l, jax.tree_util.tree_map(jnp.add, acc_g, gr)), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss_sum, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero), (im, g)
+            )
+            loss = loss_sum / accum_steps
+            grads = jax.tree_util.tree_map(lambda a: a / accum_steps, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

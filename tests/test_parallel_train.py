@@ -115,3 +115,38 @@ def test_shard_params_placement():
     for v in qkv:
         # sharded over tp: each device holds half the output features
         assert v.sharding.spec == P(None, "tp")
+
+
+def test_grad_accumulation_matches_full_batch(rng):
+    """accum_steps=2 must reproduce the full-batch step: per-image-mean
+    losses make averaged microbatch grads equal the full-batch grad."""
+    model = DPT(TINY_TRAIN)
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    gt = (rng.random((4, 64, 64)) + 0.1).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = make_optimizer()
+    full = make_train_step(lambda v, im: model.apply(v, im), tx, donate=False)
+    accum = make_train_step(lambda v, im: model.apply(v, im), tx, donate=False,
+                            accum_steps=2)
+    s_full, loss_full = full(init_state(variables, tx), x, gt)
+    s_acc, loss_acc = accum(init_state(variables, tx), x, gt)
+    np.testing.assert_allclose(float(loss_acc), float(loss_full), rtol=1e-6)
+    # compare GRADIENTS, not post-adamw params: adam's g/(sqrt(v)+eps)
+    # amplifies float-noise on near-zero grads into sign-level update
+    # differences, so param equality after one step is ill-conditioned
+    from depth_estimation_tpu.train.step import loss_fn as _loss_fn
+
+    g_full = jax.grad(lambda v: _loss_fn(model.apply, v, x, gt))(variables)
+    g_half = [
+        jax.grad(lambda v: _loss_fn(model.apply, v, x[i:i + 2], gt[i:i + 2]))(variables)
+        for i in (0, 2)
+    ]
+    g_acc = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *g_half)
+    for a, b in zip(jax.tree_util.tree_leaves(g_acc),
+                    jax.tree_util.tree_leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_train_step(lambda v, im: model.apply(v, im), tx, donate=False,
+                        accum_steps=3)(init_state(variables, tx), x, gt)
