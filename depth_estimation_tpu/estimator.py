@@ -92,9 +92,14 @@ class DepthEstimator:
 
     # -- fused frame function ----------------------------------------------
 
-    def _make_frame_fn(self, in_hw: Tuple[int, int], bgr: bool):
-        """uint8 (H, W, 3) → float32 (H, W): the whole per-frame pipeline as
-        one XLA program (preprocess + forward + bicubic upsample)."""
+    def _make_frame_fn(self, in_hw: Tuple[int, int], bgr: bool, output: str = "f32"):
+        """uint8 (H, W, 3) → depth map: the whole per-frame pipeline as one
+        XLA program (preprocess + forward + bicubic upsample).
+
+        output='f32' returns the float32 (H, W) map (reference
+        ``predict`` semantics); output='u8' additionally applies the
+        faithful wraparound uint8 cast ON DEVICE (depth_midas.py:83) so the
+        streaming loop fetches 4× fewer bytes per frame."""
         cfg = self.preprocess_cfg
         net_hw = compute_resize_shape(*in_hw, cfg)
         mean = jnp.asarray(cfg.mean, jnp.float32)
@@ -102,6 +107,8 @@ class DepthEstimator:
         model = self.model
         dtype = self.dtype
         precision = self.matmul_precision
+        if output == "u8":
+            from depth_estimation_tpu.ops.postprocess import wraparound_u8_jax
 
         @jax.jit
         def frame_fn(params, img_u8):
@@ -114,15 +121,17 @@ class DepthEstimator:
                 # reference upsamples the prediction back to the source
                 # resolution with bicubic align_corners=False (depth_midas.py:28-33)
                 pred = resize2d(pred[0], in_hw, method="cubic", align_corners=False)
+                if output == "u8":
+                    pred = wraparound_u8_jax(pred)
                 return pred
 
         return frame_fn
 
-    def frame_fn(self, in_hw: Tuple[int, int], bgr: bool = True):
-        key = (int(in_hw[0]), int(in_hw[1]), bgr)
+    def frame_fn(self, in_hw: Tuple[int, int], bgr: bool = True, output: str = "f32"):
+        key = (int(in_hw[0]), int(in_hw[1]), bgr, output)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._make_frame_fn(key[:2], bgr)
+            fn = self._make_frame_fn(key[:2], bgr, output)
             self._fn_cache[key] = fn
         return fn
 
@@ -143,6 +152,14 @@ class DepthEstimator:
         """Same as predict but leaves the result on device (for fused
         pipelines that sample depth on-chip)."""
         fn = self.frame_fn(img.shape[:2])
+        return fn(self.params, img)
+
+    def predict_device_u8(self, img) -> jax.Array:
+        """Depth map with the reference's raw uint8 output cast
+        (depth_midas.py:83, wraparound preserved) applied ON DEVICE, left on
+        device. The streaming loop's fast path: only H×W uint8 bytes cross
+        D2H, vs 4 H W for the f32 map."""
+        fn = self.frame_fn(img.shape[:2], output="u8")
         return fn(self.params, img)
 
     def predict_batch(self, imgs: np.ndarray) -> np.ndarray:

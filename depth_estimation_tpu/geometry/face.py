@@ -118,6 +118,14 @@ class FaceDet:
                 d_left = img[self.head_pts[0][1], self.head_pts[0][0]]
                 d_right = img[self.head_pts[1][1], self.head_pts[1][0]]
             ri_depth = (d_left + d_right) / 2
+        self.record_depth(ri_depth)
+
+    def record_depth(self, ri_depth: float) -> None:
+        """Record an already-sampled relative-inverse-depth value (the tail
+        of get_depth, face.py:115-116). The fused single-dispatch pipeline
+        samples the map ON DEVICE (runtime/fused.py::_sample_iris_depth) and
+        records the scalar here — identical state mutation, no f32 map
+        fetch."""
         self.ri_depth = ri_depth
         self.ri_depths.append(ri_depth)
 

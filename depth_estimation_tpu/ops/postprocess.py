@@ -13,11 +13,59 @@ wraparound semantics, which are part of the observed behavior:
 
 Each has a ``faithful`` flag; the fixed variants min-max normalize before the
 cast (what a user almost certainly wants for display).
+
+Device-side variants (``*_jax``) run the same conversions INSIDE the frame
+program so only uint8 bytes cross the device→host boundary — 4× less D2H
+per frame than fetching the float32 map and casting on host (the
+reference's ``.cpu()``-then-cast, depth_midas.py:34+83). jnp's float→uint8
+cast does NOT wrap like numpy's C cast, so the mod-256 semantics are
+reproduced explicitly (``wraparound_u8_jax``) and CI-tested against the
+numpy implementations above.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def wraparound_u8_jax(x):
+    """numpy ``astype(np.uint8)`` semantics for float inputs, on device:
+    truncate toward zero, then wrap mod 256 (depth_midas.py:83's raw cast).
+
+    jnp's own float→uint8 convert saturates instead of wrapping, so the
+    wrap is spelled out: exact for |trunc(x)| < 2**24 (f32 integer range),
+    far beyond any depth-map magnitude."""
+    import jax.numpy as jnp
+
+    t = jnp.trunc(x.astype(jnp.float32))
+    t = t - 256.0 * jnp.floor(t / 256.0)
+    return t.astype(jnp.uint8)
+
+
+def depth_to_gray_u8_jax(depth, faithful: bool = True):
+    """Device-side ``depth_to_gray_u8``: float map → uint8 gray."""
+    import jax.numpy as jnp
+
+    if faithful:
+        return wraparound_u8_jax(depth)
+    lo = depth.min()
+    hi = depth.max()
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    return ((depth - lo) * scale).astype(jnp.uint8)
+
+
+def to_video_frame_u8_jax(depth, faithful: bool = True):
+    """Device-side ``to_video_frame`` minus the host 3-channel merge:
+    uint8 cast, ``*5`` contrast, ``+10`` brightness — in uint8 arithmetic,
+    which wraps on device exactly as numpy's does on host
+    (midas_mediapipe.py:147-149). Returns the single-channel (H, W) u8
+    frame; hosts ``merge_gray3`` it (a cheap repeat) before display."""
+    import jax.numpy as jnp
+
+    g = depth_to_gray_u8_jax(depth, faithful=faithful)
+    if faithful:
+        return g * jnp.uint8(5) + jnp.uint8(10)
+    return jnp.clip(g.astype(jnp.int32) * 5 + 10, 0, 255).astype(jnp.uint8)
 
 
 def depth_to_gray_u8(depth: np.ndarray, faithful: bool = True) -> np.ndarray:

@@ -14,7 +14,7 @@ reduce design of the BASELINE north star.
 joins the SAME program. The detection-dependent face crop samples via two
 dense MXU contractions (ops/sampling.py::crop_resize_linear_matmul —
 dynamic box, static output shape; gather fallback available, see
-CROP_VIA_MATMUL), the 478-landmark mesh is mapped to frame pixels, and
+crop_via_matmul), the 478-landmark mesh is mapped to frame pixels, and
 the two iris min-enclosing circles are fit on device
 (detect/circle.py::min_enclosing_circle_jax). The landmark stage runs
 under ``lax.cond``: FaceMesh+iris on detection hit, the BlazePose
@@ -34,7 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from depth_estimation_tpu.config import LEFT_IRIS, RIGHT_IRIS
+from depth_estimation_tpu.config import BODY_HEAD, LEFT_IRIS, RIGHT_IRIS
 from depth_estimation_tpu.detect.anchors import (
     BLAZEFACE_FRONT,
     build_anchors,
@@ -54,14 +54,18 @@ from depth_estimation_tpu.ops.sampling import (
 # or as two dense MXU contractions (crop_resize_linear_matmul) — identical
 # numerics (≤2e-7). On-chip A/B (BASELINE.md): the matmul form wins; it is
 # the default for every fused program. DEPTH_TPU_CROP_IMPL=gather re-A/Bs
-# the gather form.
+# the gather form. The env var is read at TRACE time (inside _crop_resize,
+# free at runtime) so setting it after import still takes effect for any
+# program compiled afterwards; already-cached programs keep their choice.
 import os as _os
 
-CROP_VIA_MATMUL = _os.environ.get("DEPTH_TPU_CROP_IMPL", "matmul") != "gather"
+
+def crop_via_matmul() -> bool:
+    return _os.environ.get("DEPTH_TPU_CROP_IMPL", "matmul") != "gather"
 
 
 def _crop_resize(img, box, out_hw):
-    fn = crop_resize_linear_matmul if CROP_VIA_MATMUL else crop_resize_bilinear_rect
+    fn = crop_resize_linear_matmul if crop_via_matmul() else crop_resize_bilinear_rect
     return fn(img, box, out_hw)
 
 
@@ -107,6 +111,38 @@ def _pose_branch(pose_model, pose_params, rgb01):
     return plm[0], pscore[0]
 
 
+def _np_index(i, n):
+    """numpy-style index semantics for a device gather: one negative wrap
+    (img[-3] → img[n-3]); residual out-of-range clamps (XLA gather default)
+    where numpy/the reference would raise — see docs/PARITY.md."""
+    return jnp.where(i < 0, i + n, i)
+
+
+def _sample_iris_depth(depth, l_c, r_c, h, w):
+    """FaceDet.get_depth's iris sampling (face.py:91-116) ON DEVICE, quirks
+    and all: truncating int casts of the circle centers, x coords clamped to
+    shape[0]-1, l's y slot overwritten with the clamp of *r*'s y (r's y
+    itself never clamped), and transposed ``img[x, y]`` indexing."""
+    lx = jnp.trunc(l_c[0]).astype(jnp.int32)
+    rx = jnp.trunc(r_c[0]).astype(jnp.int32)
+    ry = jnp.trunc(r_c[1]).astype(jnp.int32)
+    lx = jnp.minimum(h - 1, lx)
+    rx = jnp.minimum(h - 1, rx)
+    ly = jnp.minimum(w - 1, ry)
+    left = depth[_np_index(lx, h), _np_index(ly, w)]
+    right = depth[_np_index(rx, h), _np_index(ry, w)]
+    return (left + right) / 2.0
+
+
+def _sample_pts_depth(depth, pts, h, w):
+    """FaceDet.get_depth's body-fallback sampling (face.py:111-116) ON
+    DEVICE: ``img[p[0], p[1]]`` with the points exactly as stored (the
+    faithful transposed indexing)."""
+    d_l = depth[_np_index(pts[0, 0], h), _np_index(pts[0, 1], w)]
+    d_r = depth[_np_index(pts[1, 0], h), _np_index(pts[1, 1], w)]
+    return (d_l + d_r) / 2.0
+
+
 def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     """Returns fn(depth_params, face_params, img_u8) ->
     (depth (H, W) f32, boxes (M, 16), scores (M,), valid (M,))."""
@@ -145,13 +181,34 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
 
 
 def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
-                             include_pose: bool = False):
+                             include_pose: bool = False,
+                             emit_depth_map: bool = True):
     """The WHOLE reference iris path as one XLA program.
 
-    Returns fn(depth_params, face_params, mesh_params, img_u8) ->
-    (depth (H, W) f32, boxes (M, 16), scores (M,), valid (M,),
-     mesh (478, 2) i32 frame pixels, mesh_score f32,
-     l_center (2,) f32, l_radius f32, r_center (2,) f32, r_radius f32).
+    Returns fn(depth_params, face_params, mesh_params[, pose_params],
+    img_u8, fallback_pts) -> dict with keys:
+
+    * ``depth`` — (H, W) f32 map (only when ``emit_depth_map``; the
+      streaming loop turns it off so no f32 bytes ever cross D2H)
+    * ``boxes`` (M, 16), ``scores`` (M,), ``valid`` (M,)
+    * ``mesh`` (478, 2) i32 frame pixels, ``mesh_score`` f32
+    * ``l_center`` (2,) f32, ``l_radius`` f32, ``r_center``, ``r_radius``
+    * ``pose_lm`` (33, 5) f32 in 256-crop units, ``pose_score`` f32
+      (``include_pose`` only; zeros on the hit branch)
+    * ``vis_u8`` — (H, W) u8 output frame: the reference's
+      ``to_video_frame`` cast/*5/+10 wraparound (midas_mediapipe.py:141-150)
+      computed ON DEVICE (ops/postprocess.py::to_video_frame_u8_jax)
+    * ``iris_sample`` f32 — FaceDet.get_depth's iris-center depth sample
+      (face.py:91-116, quirks preserved) on device; meaningful iff
+      ``valid[0]``
+    * ``fallback_sample`` f32 — the same get_depth's body-fallback sample
+      at the host-provided ``fallback_pts`` (2, 2) i32 (the stored head
+      points, face.py:111-116); meaningful iff real points were passed
+    * ``ears_sample`` f32 (``include_pose`` only) — depth sampled at the
+      CURRENT frame's device-computed ear pixels (pose landmarks 7, 8
+      mapped exactly as body_from_fused does); lets a pipelined stream
+      record a depth sample on the first fallback frame after a
+      transition, when no stored head points exist yet
 
     Mesh outputs are only meaningful when ``valid[0]`` — the landmark branch
     is skipped via ``lax.cond`` on detection miss (zeros returned). The crop
@@ -162,9 +219,7 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
     ``include_pose=True`` makes the cond's miss branch run the BlazePose
     landmark net instead of returning zeros — the reference's body-pose
     fallback (midas_mediapipe.py:95-117) — so EVERY frame is exactly one
-    dispatch whichever path it takes. The signature gains
-    ``pose_params`` and the outputs gain (pose_lm (33, 5) f32 in 256-crop
-    units, pose_score f32), zeros on the branch not taken.
+    dispatch whichever path it takes.
     """
     cfg = estimator.preprocess_cfg
     net_hw = compute_resize_shape(*in_hw, cfg)
@@ -181,9 +236,12 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
     l_iris_idx = jnp.asarray(LEFT_IRIS)
     r_iris_idx = jnp.asarray(RIGHT_IRIS)
 
+    from depth_estimation_tpu.ops.postprocess import to_video_frame_u8_jax
+
     precision = getattr(estimator, "matmul_precision", "high")
 
-    def fused(depth_params, face_params, mesh_params, pose_params, img_u8):
+    def fused(depth_params, face_params, mesh_params, pose_params, img_u8,
+              fallback_pts):
       with jax.default_matmul_precision(precision):
         rgb = img_u8[..., ::-1].astype(jnp.float32) / 255.0
 
@@ -222,16 +280,59 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
             return out + _pose_branch(pose_model, pose_params, rgb)
 
         fused_out = jax.lax.cond(valid[0], run_mesh, skip_mesh, operand=None)
-        return (depth, boxes, scores, valid) + fused_out
+        mesh, mesh_score, l_c, l_r, r_c, r_r = fused_out[:6]
+
+        out = {
+            "boxes": boxes,
+            "scores": scores,
+            "valid": valid,
+            "mesh": mesh,
+            "mesh_score": mesh_score,
+            "l_center": l_c,
+            "l_radius": l_r,
+            "r_center": r_c,
+            "r_radius": r_r,
+            # output postprocess on device (VERDICT r2 #1 / SURVEY N9)
+            "vis_u8": to_video_frame_u8_jax(depth, faithful=True),
+            # get_depth's two sampling modes, on device (zeros-driven junk
+            # on the branch whose inputs are absent — host selects by
+            # valid/pts-provenance)
+            "iris_sample": _sample_iris_depth(depth, l_c, r_c, h, w),
+            "fallback_sample": _sample_pts_depth(depth, fallback_pts, h, w),
+        }
+        if emit_depth_map:
+            out["depth"] = depth
+        if include_pose:
+            pose_lm, pose_score = fused_out[6], fused_out[7]
+            out["pose_lm"] = pose_lm
+            out["pose_score"] = pose_score
+            # current-frame ear pixels, mapped exactly as body_from_fused
+            # (person_detector.py:249-255): scale 256-crop landmarks to
+            # frame, truncating int casts
+            ex = jnp.trunc(pose_lm[jnp.asarray(BODY_HEAD), 0] * (w / 256.0)).astype(jnp.int32)
+            ey = jnp.trunc(pose_lm[jnp.asarray(BODY_HEAD), 1] * (h / 256.0)).astype(jnp.int32)
+            ears = jnp.stack([ex, ey], axis=-1)  # (2, 2) rows = (x, y)
+            out["ears_sample"] = _sample_pts_depth(depth, ears, h, w)
+        return out
 
     if include_pose:
         return jax.jit(fused)
 
     @jax.jit
-    def fused_no_pose(depth_params, face_params, mesh_params, img_u8):
-        return fused(depth_params, face_params, mesh_params, None, img_u8)
+    def fused_no_pose(depth_params, face_params, mesh_params, img_u8, fallback_pts):
+        return fused(depth_params, face_params, mesh_params, None, img_u8, fallback_pts)
 
     return fused_no_pose
+
+
+_NO_PTS = None  # lazily-built zero fallback_pts singleton
+
+
+def _zero_pts():
+    global _NO_PTS
+    if _NO_PTS is None:
+        _NO_PTS = jnp.zeros((2, 2), jnp.int32)
+    return _NO_PTS
 
 
 class FusedFrameRunner:
@@ -243,40 +344,54 @@ class FusedFrameRunner:
     per-frame pipeline as a single dispatch whichever path a frame takes.
     ``mesh=False`` keeps the depth+detect-only program with the landmark
     stage as a second dispatch.
+
+    ``emit_depth_map=False`` (the streaming default) drops the f32 depth
+    map from the outputs: postprocess + depth sampling already happened on
+    device, so the fetch is u8-and-scalars only — ≥4× fewer D2H bytes.
     """
 
-    def __init__(self, estimator, detector, mesh: bool = True, pose: bool = True):
+    def __init__(self, estimator, detector, mesh: bool = True, pose: bool = True,
+                 emit_depth_map: bool = True):
         self.estimator = estimator
         self.detector = detector
         self.mesh = mesh
         self.pose = mesh and pose
+        self.emit_depth_map = emit_depth_map
         self._cache = {}
 
-    def __call__(self, img_u8):
+    def __call__(self, img_u8, fallback_pts=None):
+        """``fallback_pts``: optional (2, 2) int array of stored head points
+        for the device-side body-fallback depth sample (mesh mode only)."""
         key = img_u8.shape[:2]
         fn = self._cache.get(key)
         if fn is None:
             if self.mesh:
                 fn = make_fused_iris_frame_fn(
-                    self.estimator, self.detector, key, include_pose=self.pose
+                    self.estimator, self.detector, key, include_pose=self.pose,
+                    emit_depth_map=self.emit_depth_map,
                 )
             else:
                 fn = make_fused_frame_fn(self.estimator, self.detector, key)
             self._cache[key] = fn
-        if self.pose:
-            return fn(
-                self.estimator.params,
-                self.detector._face_det_params,
-                self.detector._mesh_params,
-                self.detector._pose_params,
-                img_u8,
-            )
         if self.mesh:
+            pts = _zero_pts() if fallback_pts is None else jnp.asarray(
+                fallback_pts, jnp.int32
+            )
+            if self.pose:
+                return fn(
+                    self.estimator.params,
+                    self.detector._face_det_params,
+                    self.detector._mesh_params,
+                    self.detector._pose_params,
+                    img_u8,
+                    pts,
+                )
             return fn(
                 self.estimator.params,
                 self.detector._face_det_params,
                 self.detector._mesh_params,
                 img_u8,
+                pts,
             )
         return fn(self.estimator.params, self.detector._face_det_params, img_u8)
 

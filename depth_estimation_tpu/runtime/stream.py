@@ -9,15 +9,32 @@ Behavioral equivalents of the reference's two ``VidStream`` classes:
   depth-at-iris sampling, rel→abs, iris or body-pose distance path, HUD
   messages, side-by-side output, per-stage timing with end-of-run FPS report.
 
-TPU-first changes (SURVEY.md §3.5): decode runs on a background thread
-(PrefetchSource), the depth network is one fused XLA program per frame
-(estimator.frame_fn), and the loop is software-pipelined one frame deep so
-host decode/encode overlaps device compute — the reference runs all stages
-sequentially on one thread.
+TPU-first changes (SURVEY.md §3.5, VERDICT r2 #1):
+
+* decode runs on a background thread (PrefetchSource);
+* the ENTIRE per-frame device pipeline — preprocess, network, bicubic
+  upsample, output postprocess (the reference's uint8 wraparound cast /
+  ``*5 + 10`` contrast, depth_midas.py:81-85 + midas_mediapipe.py:141-150)
+  and the iris/fallback depth sampling (face.py:91-116) — is ONE jitted
+  XLA program per frame, so only uint8 bytes and a few scalars cross D2H
+  (≥4× fewer bytes than fetching the f32 map);
+* all of a frame's outputs come back in ONE ``jax.device_get`` (each fetch
+  is its own round trip — ~100 ms through a tunneled chip);
+* the loop keeps ``pipeline_depth`` frames in flight (default 2) so host
+  decode/HUD/encode overlaps device compute and transfer. Per-frame
+  semantics are identical at any depth except the body-fallback sampling
+  points, which lag one extra frame per depth step (docs/PARITY.md).
+
+Stage timing is truthful under async dispatch: the ``depth`` stage records
+the dispatch→value-ready WALL span via StageTimer.record_span, so the
+reference-format FPS report states frame completion throughput
+(runtime/timing.py docstring).
 """
 
 from __future__ import annotations
 
+import time
+from collections import deque
 from statistics import median
 
 import numpy as np
@@ -38,15 +55,19 @@ class VidStream:
     """Depth-only stream (reference: depth_midas.py:38-85)."""
 
     def __init__(self, estimator, src=None, output=None, prefetch: bool = True,
-                 verbose: bool = True, start_frame: int = 0, retries: int = 2):
+                 verbose: bool = True, start_frame: int = 0, retries: int = 2,
+                 pipeline_depth: int = 2):
         """start_frame: skip the first N frames before processing —
         deterministic resume of an interrupted stream (SURVEY.md §5).
-        retries: decode-failure retry budget per frame (ResilientSource)."""
+        retries: decode-failure retry budget per frame (ResilientSource).
+        pipeline_depth: frames in flight on device before the oldest is
+        fetched/written (≥1; 1 = fully synchronous)."""
         self.estimator = estimator
         self.video = ResilientSource(open_source(src), retries=retries)
         if prefetch and needs_prefetch(self.video.inner):
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.FPS = 1 / 30  # reference constant, unused for pacing (depth_midas.py:45)
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -68,7 +89,7 @@ class VidStream:
             if not ok:
                 break
             self.cnt += 1
-        pending = None  # one-frame software pipeline: device result in flight
+        inflight = deque()  # (device u8 array, t_dispatch, cpu_dispatch)
         while True:
             if not self.video.is_opened():
                 print("Error opening file.")
@@ -80,13 +101,14 @@ class VidStream:
             self.cnt += 1
             if self.verbose:
                 print(f"Frame: {self.cnt}")
-            with self.timer.stage("depth"):
-                arr = self.estimator.predict_device(self.frame)
-            if pending is not None:
-                self._write(pending)
-            pending = arr
-        if pending is not None:
-            self._write(pending)
+            c0 = time.process_time()
+            t0 = time.perf_counter()
+            arr = self._predict_u8(self.frame)
+            inflight.append((arr, t0, time.process_time() - c0))
+            if len(inflight) >= self.pipeline_depth:
+                self._complete_one(inflight)
+        while inflight:
+            self._complete_one(inflight)
         dropped = getattr(self.video, "frames_dropped", 0)
         if dropped and self.verbose:
             print(f"Dropped {dropped} undecodable frames.")
@@ -97,14 +119,37 @@ class VidStream:
                          **self.timer.summary())
             self.log.close()
 
-    def _write(self, device_pred):
-        """uint8 cast (wraparound preserved) + gray→3ch (depth_midas.py:81-85)."""
-        prediction = np.asarray(device_pred)
-        self.writer.write(merge_gray3(prediction.astype(np.uint8)))
+    def _predict_u8(self, frame):
+        """Dispatch the u8-output frame program (postprocess cast on device);
+        estimator stand-ins without the u8 path fall back to the f32 program
+        with a host cast at completion."""
+        fn = getattr(self.estimator, "predict_device_u8", None)
+        if fn is not None:
+            return fn(frame)
+        return self.estimator.predict_device(frame)
+
+    def _complete_one(self, inflight):
+        """Fetch + write the oldest in-flight frame; the depth stage records
+        the dispatch→value-ready wall span (truthful completion time)."""
+        arr, t0, cpu_d = inflight.popleft()
+        c0 = time.process_time()
+        gray = np.asarray(arr)  # the value fetch — the only real sync point
+        self.timer.record_span(
+            "depth", time.perf_counter() - t0, cpu_d + time.process_time() - c0
+        )
+        self._write_gray(gray)
+
+    def _write_gray(self, gray):
+        """uint8 cast (wraparound preserved) + gray→3ch (depth_midas.py:81-85).
+        The cast already happened on device for the u8 path; host-cast
+        otherwise."""
+        if gray.dtype != np.uint8:
+            gray = gray.astype(np.uint8)
+        self.writer.write(merge_gray3(gray))
 
     # reference alias
     def write_output(self):
-        self._write(self.estimator.predict_device(self.frame))
+        self._write_gray(np.asarray(self._predict_u8(self.frame)))
 
 
 class FusedVidStream:
@@ -112,12 +157,15 @@ class FusedVidStream:
 
     def __init__(self, estimator, detector, face, src=None, output=None,
                  verbose: bool = True, fused: bool = True, start_frame: int = 0,
-                 retries: int = 2):
-        """fused=True computes depth + face detection + FaceMesh/iris in ONE
-        XLA dispatch per frame (runtime/fused.py — the landmark branch is a
-        lax.cond taken on detection hits); only the BlazePose fallback is a
-        separate dispatch, on miss frames.
-        retries: decode-failure retry budget per frame (ResilientSource)."""
+                 retries: int = 2, pipeline_depth: int = 2):
+        """fused=True computes depth + face detection + FaceMesh/iris +
+        BlazePose fallback + output postprocess + depth sampling in ONE XLA
+        dispatch per frame (runtime/fused.py), fetched with ONE device_get.
+        retries: decode-failure retry budget per frame (ResilientSource).
+        pipeline_depth: fused-mode frames in flight before the oldest is
+        fetched (1 = synchronous, exact reference ordering; the default 2
+        overlaps host work with device compute — see docs/PARITY.md for the
+        one-frame-staler body-fallback sampling points this implies)."""
         self.detector = detector
         self.estimator = estimator
         self.face = face
@@ -125,12 +173,19 @@ class FusedVidStream:
         if needs_prefetch(self.video.inner):
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._fused_runner = None
         self._fused_pose = None  # device pose landmarks for the current frame
+        # device-side depth sampling implements the faithful get_depth
+        # quirks; a faithful=False FaceDet keeps host sampling (and thus the
+        # f32 map in the fetch)
+        self._device_samples = bool(getattr(face, "faithful", True))
         if fused and hasattr(detector, "_face_det"):
             from depth_estimation_tpu.runtime.fused import FusedFrameRunner
 
-            self._fused_runner = FusedFrameRunner(estimator, detector)
+            self._fused_runner = FusedFrameRunner(
+                estimator, detector, emit_depth_map=not self._device_samples
+            )
         self.FPS = 1 / 30
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -153,14 +208,21 @@ class FusedVidStream:
             if not ok:
                 break
             self.cnt += 1
+        inflight = deque()  # (frame, out handles, had_pts, t_dispatch, cpu_dispatch)
         while True:
             if not self.video.is_opened():
+                while inflight:
+                    self._process_fused(inflight.popleft())
                 print("Error opening file.")
                 print(f"Sucessfully read {self.cnt} out of {self.video.frame_count} frames.")
                 break
             self.status, self.frame = self.video.read()
             if not self.status:
-                # end-of-stream report (midas_mediapipe.py:118-122)
+                while inflight:  # drain before the report covers all frames
+                    self._process_fused(inflight.popleft())
+                # end-of-stream report (midas_mediapipe.py:118-122); in fused
+                # mode 'iris' has no separate stage (it rides the single
+                # dispatch) so only stages with data print — docs/PARITY.md
                 print("Performance stats in FPS:")
                 for stage in ("iris", "body", "depth"):
                     if self.performance[stage]:
@@ -170,34 +232,40 @@ class FusedVidStream:
             if self.verbose:
                 print(f"Frame: {self.cnt}")
 
+            if self._fused_runner is not None and self._fused_runner.mesh:
+                # single dispatch: depth + detect + mesh/iris (+ pose
+                # fallback) + postprocess + depth sampling
+                pts = self.face.head_pts
+                had_pts = pts is not None
+                pts_arr = None
+                if had_pts:
+                    pts_arr = np.asarray(
+                        [[int(pts[0][0]), int(pts[0][1])],
+                         [int(pts[1][0]), int(pts[1][1])]], np.int32)
+                c0 = time.process_time()
+                t0 = time.perf_counter()
+                out = self._fused_runner(self.frame, fallback_pts=pts_arr)
+                cpu_d = time.process_time() - c0
+                inflight.append((self.frame, out, had_pts, t0, cpu_d))
+                if len(inflight) >= self.pipeline_depth:
+                    self._process_fused(inflight.popleft())
+                continue
+
+            # staged path (fused=False, or depth+detect-only runner)
             self.face.mesh = None  # per-frame detection reset (:51)
+            self._fused_pose = None
             if self._fused_runner is not None:
-                # one dispatch: depth + detection (+ mesh/iris when the
-                # runner compiles the full iris program)
                 with self.timer.stage("depth"):
-                    out = self._fused_runner(self.frame)
-                self._fused_pose = None
+                    depth_dev, boxes, scores, valid = self._fused_runner(self.frame)
+                    depth_frame = np.asarray(depth_dev)
                 with self.timer.stage("iris"):
-                    if len(out) == 4:
-                        depth_dev, boxes, scores, valid = out
-                        self.detector.findIris(self.frame, detection=(boxes, scores, valid))
-                    else:
-                        (depth_dev, boxes, scores, valid, mesh, mscore,
-                         l_c, l_r, r_c, r_r) = out[:10]
-                        found = bool(np.asarray(valid)[0])
-                        self.detector.set_fused_mesh(
-                            self.frame, mesh, mscore, l_c, l_r, r_c, r_r,
-                            found=found,
-                        )
-                        if len(out) == 12 and not found:
-                            # pose fallback already computed on device
-                            self._fused_pose = (out[10], out[11])
+                    self.detector.findIris(self.frame, detection=(boxes, scores, valid))
             else:
                 with self.timer.stage("depth"):
                     depth_dev = self.estimator.predict_device(self.frame)
+                    depth_frame = np.asarray(depth_dev)
                 with self.timer.stage("iris"):
                     self.detector.findIris(self.frame)
-            depth_frame = np.asarray(depth_dev)
 
             # sampling falls back to stored body head points when no mesh;
             # on the very first frames neither may exist yet (the reference
@@ -205,22 +273,8 @@ class FusedVidStream:
             if self.face.mesh is not None or self.face.head_pts is not None:
                 self.face.get_depth(depth_frame)
                 self.face.rel2abs()
-            if self.log.enabled:
-                self.log.log(
-                    "frame",
-                    n=self.cnt,
-                    ri_depth=float(self.face.ri_depth),
-                    abs_depth=float(self.face.abs_depth),
-                    face_found=self.face.mesh is not None,
-                )
-            if self.face.mesh is not None and not (self.face.l_iris["radius"] or 0) > 0:
-                # degenerate iris fit — route through the body-pose fallback
-                # instead of dividing by a zero diameter
-                self.face.mesh = None
-            if self.face.mesh is not None:
-                self._iris_path(depth_frame)
-            else:
-                self._body_path(depth_frame)
+            self._log_frame()
+            self._route_frame(self.to_video_frame(depth_frame))
         dropped = getattr(self.video, "frames_dropped", 0)
         if dropped and self.verbose:
             print(f"Dropped {dropped} undecodable frames.")
@@ -231,9 +285,80 @@ class FusedVidStream:
         self.video.release()
         self.writer.release()
 
+    # -- fused-mode frame completion ----------------------------------------
+
+    def _process_fused(self, entry):
+        """Fetch ALL of a dispatched frame's outputs in one device_get, then
+        run the host half: face-state fill, depth-sample recording, HUD and
+        output routing. Called in dispatch order."""
+        import jax
+
+        frame, out, had_pts, t0, cpu_d = entry
+        c0 = time.process_time()
+        out = jax.device_get(out)  # ONE round trip for every output
+        self.timer.record_span(
+            "depth", time.perf_counter() - t0, cpu_d + time.process_time() - c0
+        )
+        self.frame = frame
+        self.face.mesh = None  # per-frame detection reset (:51)
+        found = bool(out["valid"][0])
+        self.detector.set_fused_mesh(
+            frame, out["mesh"], out["mesh_score"], out["l_center"],
+            out["l_radius"], out["r_center"], out["r_radius"], found=found,
+        )
+        self._fused_pose = None
+        if not found and "pose_lm" in out:
+            self._fused_pose = (out["pose_lm"], out["pose_score"])
+
+        # depth sampling — device-computed scalars in the faithful mode;
+        # reference order: sample before the iris/body path choice
+        # (midas_mediapipe.py:62)
+        if self._device_samples:
+            if found:
+                self.face.record_depth(float(out["iris_sample"]))
+                self.face.rel2abs()
+            elif had_pts:
+                self.face.record_depth(float(out["fallback_sample"]))
+                self.face.rel2abs()
+            elif self.face.head_pts is not None and "ears_sample" in out:
+                # pipelined transition frame: head points appeared only
+                # after this frame was dispatched — sample at the frame's
+                # own device-computed ear pixels (docs/PARITY.md)
+                self.face.record_depth(float(out["ears_sample"]))
+                self.face.rel2abs()
+        else:
+            if self.face.mesh is not None or self.face.head_pts is not None:
+                self.face.get_depth(out["depth"])
+                self.face.rel2abs()
+        self._log_frame()
+        # output frame: postprocessed on device (vis_u8), host just merges
+        self._route_frame(merge_gray3(out["vis_u8"]))
+
+    def _log_frame(self):
+        if self.log.enabled:
+            self.log.log(
+                "frame",
+                n=self.cnt,
+                ri_depth=float(self.face.ri_depth),
+                abs_depth=float(self.face.abs_depth),
+                face_found=self.face.mesh is not None,
+            )
+
+    def _route_frame(self, vis):
+        """Degenerate-iris guard + iris/body path choice on the current
+        face state; ``vis`` is the ready 3-channel u8 depth visualization."""
+        if self.face.mesh is not None and not (self.face.l_iris["radius"] or 0) > 0:
+            # degenerate iris fit — route through the body-pose fallback
+            # instead of dividing by a zero diameter
+            self.face.mesh = None
+        if self.face.mesh is not None:
+            self._iris_path(vis)
+        else:
+            self._body_path(vis)
+
     # -- iris path (midas_mediapipe.py:64-94) -------------------------------
 
-    def _iris_path(self, depth_frame):
+    def _iris_path(self, vis):
         self.detector.visualize(self.frame)
         l_diameter = self.face.l_iris["radius"] * 2
         self.face.s2c_dist(self.face.w_iris, l_diameter)
@@ -247,13 +372,12 @@ class FusedVidStream:
             f"focal length: {round(self.face.f, 2)}",
         ]
         self.write_messages(messages, self.frame)
-        vis = self.to_video_frame(depth_frame)
         self.write_messages(self._depth_messages(), vis)
         self.write_output(vis)
 
     # -- body fallback path (midas_mediapipe.py:95-117) ----------------------
 
-    def _body_path(self, depth_frame):
+    def _body_path(self, vis):
         self.face.rel2abs()
         self._put_text(self.frame, "Face not detected. Using body pose estimates.", (70, 50), (255, 0, 0))
         with self.timer.stage("body"):
@@ -271,7 +395,6 @@ class FusedVidStream:
             self.face.get_headw(head_pts[0], head_pts[1])
             self.face.s2c_dist(median(self.face.head_measurements), self.face.head_w)
             self._put_text(self.frame, f"S2C dist (ft): {self.face.s2c_d}", (50, 150), (0, 255, 0))
-        vis = self.to_video_frame(depth_frame)
         self.write_messages(self._depth_messages(), vis)
         self.write_output(vis)
 
@@ -308,7 +431,9 @@ class FusedVidStream:
 
     def to_video_frame(self, img):
         """uint8 cast + *=5 contrast + +=10 brightness with wraparound
-        (midas_mediapipe.py:141-150)."""
+        (midas_mediapipe.py:141-150). The fused path computes this on device
+        (ops/postprocess.py::to_video_frame_u8_jax); this host version
+        serves the staged path and API parity."""
         return to_video_frame(img, faithful=True)
 
     def side_by_side(self, img1, img2):

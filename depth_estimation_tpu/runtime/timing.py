@@ -5,6 +5,17 @@ stage collected into a ``performance`` dict and a median-FPS printout at
 stream end (midas_mediapipe.py:30, 52-60, 118-122) — plus wall-clock
 percentiles (p50/p90 frame latency), which the driver's north-star metric
 needs (BASELINE.md).
+
+Truthfulness under async dispatch: the reference's ``process_time``
+brackets captured real compute because torch-on-CPU is synchronous. Our
+pipelined loops dispatch a frame and fetch its value later, and
+``process_time`` does not accrue while the host blocks on the RPC — so a
+bracket around the dispatch alone would overreport FPS arbitrarily.
+Asynchronous stages therefore record via :meth:`record_span` with the
+dispatch→value-ready WALL time; that is what lands in ``performance`` and
+what the reference-format ``1 // median`` report prints (frame COMPLETION
+throughput). The host-CPU share is kept separately in ``cpu``.
+Synchronous host stages keep the exact reference bracket (``stage``).
 """
 
 from __future__ import annotations
@@ -19,12 +30,17 @@ class StageTimer:
     def __init__(self, stages=("iris", "body", "depth")):
         self.performance: Dict[str, List[float]] = {s: [] for s in stages}
         self.wall: Dict[str, List[float]] = {s: [] for s in stages}
+        # host-CPU share of async stages recorded via record_span
+        self.cpu: Dict[str, List[float]] = {}
 
-    @contextlib.contextmanager
-    def stage(self, name: str):
+    def _ensure(self, name: str) -> None:
         if name not in self.performance:
             self.performance[name] = []
             self.wall[name] = []
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        self._ensure(name)
         c0 = time.process_time()
         w0 = time.perf_counter()
         try:
@@ -32,6 +48,17 @@ class StageTimer:
         finally:
             self.performance[name].append(time.process_time() - c0)
             self.wall[name].append(time.perf_counter() - w0)
+
+    def record_span(self, name: str, wall_s: float, cpu_s: float = None) -> None:
+        """Record one ASYNC stage span: ``wall_s`` must cover dispatch →
+        value-ready (the fetch), so the reference-format FPS report states
+        frame completion throughput, not dispatch rate. ``cpu_s`` (optional)
+        is the host-CPU share, kept in ``self.cpu`` for diagnostics."""
+        self._ensure(name)
+        self.performance[name].append(wall_s)
+        self.wall[name].append(wall_s)
+        if cpu_s is not None:
+            self.cpu.setdefault(name, []).append(cpu_s)
 
     def fps(self, name: str) -> float:
         """``1 // median(stage_times)`` — the reference's formula
@@ -66,4 +93,6 @@ class StageTimer:
                 "p50_ms": self.percentile(name, 0.5) * 1e3,
                 "p90_ms": self.percentile(name, 0.9) * 1e3,
             }
+            if self.cpu.get(name):
+                out[name]["host_cpu_p50_ms"] = median(self.cpu[name]) * 1e3
         return out

@@ -83,17 +83,17 @@ def main():
 
     # B: single-dispatch fused iris program
     fb = make_fused_iris_frame_fn(est, det, hw)
+    zero_pts = jnp.zeros((2, 2), jnp.int32)
 
     def step_b(i, salt, dp, fp, mp, img):
-        out = fb(dp, fp, mp, perturb_u8(img, i, salt))
-        depth, boxes, scores, valid, mesh, mscore, l_c, l_r, r_c, r_r = out
+        out = fb(dp, fp, mp, perturb_u8(img, i, salt), zero_pts)
         return (
-            depth.mean()
-            + boxes.mean()
-            + mesh.sum().astype(jnp.float32)
-            + mscore
-            + l_r
-            + r_r
+            out["depth"].mean()
+            + out["boxes"].mean()
+            + out["mesh"].sum().astype(jnp.float32)
+            + out["mesh_score"]
+            + out["l_radius"]
+            + out["r_radius"]
         )
 
     ms_b = slope_time_ms(

@@ -80,9 +80,11 @@ def main():
     t0 = time.time()
     out = runner(img)
     n = len(out)
-    print(f"fused iris+pose program: {n} outputs, depth {np.asarray(out[0]).shape} "
-          f"in {time.time()-t0:.1f}s (incl compile)")
-    ok &= n == 12 and np.asarray(out[0]).shape == (480, 640)
+    print(f"fused iris+pose program: {n} outputs, depth {np.asarray(out['depth']).shape}, "
+          f"vis_u8 {np.asarray(out['vis_u8']).dtype} in {time.time()-t0:.1f}s (incl compile)")
+    ok &= np.asarray(out["depth"]).shape == (480, 640)
+    ok &= np.asarray(out["vis_u8"]).dtype == np.uint8
+    ok &= "pose_lm" in out and "iris_sample" in out
 
     # detection-only 3-tier program (depth_by_detection's default path)
     from depth_estimation_tpu.detect.face_detector import FaceDetector
