@@ -71,10 +71,12 @@ def onchip_batch_ms_per_image(est, imgs_u8, **kw):
     return benchmark.onchip_batch_ms_per_image(est, imgs_u8, **kw)
 
 
-def e2e_numbers(est, frames):
-    import jax
-
-    fn = est.frame_fn(frames[0].shape[:2])
+def e2e_numbers(est, frames, output="u8"):
+    """Client-observed numbers for the SHIPPED streaming transfer path:
+    output='u8' fetches the device-postprocessed uint8 frame (what
+    VidStream writes — 4× fewer D2H bytes than the f32 map, VERDICT r2 #1);
+    output='f32' measures the old full-map fetch for comparison."""
+    fn = est.frame_fn(frames[0].shape[:2], output=output)
     np.asarray(fn(est.params, frames[0]))  # warm
     lat = []
     for f in frames[:8]:
@@ -129,24 +131,194 @@ def cpu_baseline(model_type, h, w, cpu_frames=2):
     return fps
 
 
+def _pipelined_fetch_loop(dispatch, fetch, frames, depth=2):
+    """Client-observed throughput/latency of a dispatch→single-fetch loop
+    kept ``depth`` frames in flight (the FusedVidStream transfer pattern).
+    Returns (fps, p50 completion latency ms)."""
+    from collections import deque
+
+    q = deque()
+    lat = []
+
+    def complete():
+        handle, td = q.popleft()
+        fetch(handle)
+        lat.append(time.perf_counter() - td)
+
+    t0 = time.perf_counter()
+    for f in frames:
+        q.append((dispatch(f), time.perf_counter()))
+        if len(q) >= depth:
+            complete()
+    while q:
+        complete()
+    fps = len(frames) / (time.perf_counter() - t0)
+    return fps, sorted(lat)[len(lat) // 2] * 1e3
+
+
+def bench_fused(args):
+    """Config 4 (BASELINE.json): the fused iris+pose streaming pipeline —
+    depth + BlazeFace + FaceMesh/iris (+ BlazePose miss branch) + output
+    postprocess + depth sampling, ONE dispatch/frame. Detection threshold
+    ~0 so the mesh branch runs every frame (worst case). One JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.detect.person_detector import PersonDetector
+    from depth_estimation_tpu.geometry.face import FaceDet
+    from depth_estimation_tpu.runtime.fused import (
+        FusedFrameRunner,
+        make_fused_iris_frame_fn,
+    )
+    from depth_estimation_tpu.utils.benchmark import (
+        perturb_u8,
+        salted_loop,
+        slope_time_ms,
+    )
+
+    h, w = args.height or 480, args.width or 640
+    est = build(args.model_type, args.dtype)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        det = PersonDetector(
+            FaceDet(20, [505, 504, 675, 501]), minDetectionCon=1e-4,
+            params={}, seed=0,
+        )
+
+    # on-chip: the exact shipped streaming program (pose branch fused,
+    # f32 map never emitted)
+    fn = make_fused_iris_frame_fn(est, det, (h, w), include_pose=True,
+                                  emit_depth_map=False)
+    zero_pts = jnp.zeros((2, 2), jnp.int32)
+    frames = make_frames(max(args.frames, 12), h, w)
+    img = jnp.asarray(frames[0])
+
+    def step(i, salt, dp, fp, mp, pp, im):
+        out = fn(dp, fp, mp, pp, perturb_u8(im, i, salt), zero_pts)
+        return (
+            out["vis_u8"].sum().astype(jnp.float32) * 1e-6
+            + out["iris_sample"]
+            + out["mesh"].sum().astype(jnp.float32) * 1e-3
+        )
+
+    ms = slope_time_ms(
+        salted_loop(step),
+        (est.params, det._face_det_params, det._mesh_params,
+         det._pose_params, img),
+    )
+
+    # e2e: the FusedVidStream transfer pattern — dispatch, ONE device_get,
+    # pipeline depth 2
+    runner = FusedFrameRunner(est, det, emit_depth_map=False)
+    jax.device_get(runner(frames[0]))  # warm
+    e2e_fps, p50 = _pipelined_fetch_loop(runner, jax.device_get, frames)
+    print(json.dumps({
+        "metric": f"fused_iris_{args.model_type}_{h}x{w}_fps_per_chip",
+        "value": round(1e3 / ms, 2),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "onchip_ms_per_frame": round(ms, 3),
+        "dtype": args.dtype,
+        "e2e_client_fps": round(e2e_fps, 2),
+        "e2e_p50_latency_ms": round(p50, 2),
+    }))
+
+
+def bench_detection(args):
+    """Config 5 (BASELINE.json): the detection-only 3-tier pipeline
+    (depth_by_detection.py's default single-dispatch program). One JSON
+    line."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.detect.face_detector import FaceDetector
+    from depth_estimation_tpu.runtime.fused import (
+        FusedDetectionRunner,
+        make_fused_detection_frame_fn,
+    )
+    from depth_estimation_tpu.utils.benchmark import (
+        perturb_u8,
+        salted_loop,
+        slope_time_ms,
+    )
+
+    h, w = args.height or 480, args.width or 640
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        det = FaceDetector(minDetectionCon=1e-4)
+
+    fn = make_fused_detection_frame_fn(det, (h, w))
+    impl = det._impl
+    frames = make_frames(max(args.frames, 12), h, w)
+    img = jnp.asarray(frames[0])
+
+    def step(i, salt, fp, mp, pp, im):
+        boxes, scores, valid, mesh_pts, pose_lm, pose_score = fn(
+            fp, mp, pp, perturb_u8(im, i, salt)
+        )
+        return (
+            boxes.mean()
+            + mesh_pts.sum().astype(jnp.float32) * 1e-3
+            + pose_lm.mean()
+        )
+
+    ms = slope_time_ms(
+        salted_loop(step),
+        (impl._face_det_params, impl._mesh_params, impl._pose_params, img),
+    )
+
+    runner = FusedDetectionRunner(det)  # device_get inside -> each call is
+    runner(frames[0])  # warm               # a complete dispatch+fetch
+    lat = []
+    t0 = time.perf_counter()
+    for f in frames:
+        t1 = time.perf_counter()
+        runner(f)
+        lat.append(time.perf_counter() - t1)
+    e2e_fps = len(frames) / (time.perf_counter() - t0)
+    p50 = sorted(lat)[len(lat) // 2] * 1e3
+    print(json.dumps({
+        "metric": f"fused_detection_{h}x{w}_fps_per_chip",
+        "value": round(1e3 / ms, 2),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "onchip_ms_per_frame": round(ms, 3),
+        "e2e_client_fps": round(e2e_fps, 2),
+        "e2e_p50_latency_ms": round(p50, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-type", default="DPT_Large")
     ap.add_argument("--frames", type=int, default=16)
-    ap.add_argument("--height", type=int, default=384)
-    ap.add_argument("--width", type=int, default=384)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cpu-worker", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument("--batch", type=int, default=0,
                     help="measure the BATCHED still-image config at this "
                          "batch size instead of the streaming config")
+    ap.add_argument("--pipeline", default="stream",
+                    choices=["stream", "fused", "detection"],
+                    help="stream = depth-only headline (default); fused = "
+                         "config-4 iris pipeline; detection = config-5 "
+                         "3-tier detection pipeline")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
     from depth_estimation_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.pipeline == "fused":
+        return bench_fused(args)
+    if args.pipeline == "detection":
+        return bench_detection(args)
+    # streaming/batch configs default to the 384² north-star shapes
+    args.height = args.height or 384
+    args.width = args.width or 384
 
     if args.cpu_worker:
         # CPU backend: timing is reliable per call; measure a few frames
@@ -184,7 +356,10 @@ def main():
     frames = make_frames(args.frames, args.height, args.width)
     ms = onchip_ms_per_frame(est, frames[0])
     fps = 1e3 / ms
-    e2e_fps, p50_ms = e2e_numbers(est, frames)
+    # shipped streaming transfer path: device-postprocessed u8 frames
+    e2e_fps, p50_ms = e2e_numbers(est, frames, output="u8")
+    # old full-f32-map fetch, kept for the D2H comparison
+    e2e_f32_fps, p50_f32_ms = e2e_numbers(est, frames, output="f32")
 
     cpu_fps = None if args.skip_cpu else cpu_baseline(args.model_type, args.height, args.width)
     vs = (fps / cpu_fps) if cpu_fps else None
@@ -197,6 +372,10 @@ def main():
         "dtype": args.dtype,
         "e2e_client_fps": round(e2e_fps, 2),
         "e2e_p50_latency_ms": round(p50_ms, 2),
+        "e2e_f32_client_fps": round(e2e_f32_fps, 2),
+        "e2e_f32_p50_latency_ms": round(p50_f32_ms, 2),
+        "d2h_bytes_per_frame": args.height * args.width,
+        "d2h_f32_bytes_per_frame": 4 * args.height * args.width,
         "cpu_reference_fps": round(cpu_fps, 4) if cpu_fps else None,
     }))
 

@@ -51,6 +51,10 @@ class DPTConfig:
     # (tools/precision_bisect.py): the decoder's big fused convs run at
     # high spatial resolution and dominate 'high'-precision cost.
     decoder_precision: object = None
+    # Per-block trunk precision overrides (length-``depth`` tuple, None
+    # entries → dot_precision → ambient); the finer-grained lever the
+    # per-block bisect drives (tools/precision_bisect.py --per-block).
+    block_precisions: object = None
     # Optional NamedSharding for the trunk's token activations — sequence
     # parallelism over a mesh 'sp' axis (parallel/mesh.py::seq_sharding).
     act_sharding: object = None
@@ -118,6 +122,7 @@ class DPT(nn.Module):
                 hooks=tuple(h for h in cfg.hooks if h >= 2),
                 use_pallas=cfg.use_pallas,
                 dot_precision=cfg.dot_precision,
+                block_precisions=cfg.block_precisions,
                 remat=cfg.remat,
                 name="vit",
             )(x, patches=nn.Conv(C, (1, 1), padding="VALID", name="patch_embed")(stem_feats))
@@ -132,6 +137,7 @@ class DPT(nn.Module):
                 hooks=cfg.hooks,
                 use_pallas=cfg.use_pallas,
                 dot_precision=cfg.dot_precision,
+                block_precisions=cfg.block_precisions,
                 act_sharding=cfg.act_sharding,
                 remat=cfg.remat,
                 name="vit",

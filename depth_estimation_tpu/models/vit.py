@@ -98,6 +98,12 @@ class ViT(nn.Module):
     hooks: Tuple[int, ...] = (5, 11, 17, 23)
     use_pallas: bool = True
     dot_precision: object = None
+    # Optional per-block dot-precision overrides: a length-``depth`` tuple;
+    # None entries fall back to dot_precision (then ambient). Exists for the
+    # per-block mixed-precision bisect (tools/precision_bisect.py
+    # --per-block): which ViT blocks tolerate the TPU's fast single-pass
+    # 'default' within the 1e-3 accuracy gate.
+    block_precisions: object = None
     # Optional NamedSharding for the (B, N, C) token activations — sequence
     # parallelism (parallel/mesh.py::seq_sharding). Constraints are applied
     # on entry and after every block; GSPMD inserts the K/V all-gathers the
@@ -144,8 +150,11 @@ class ViT(nn.Module):
         block_cls = nn.remat(Block) if self.remat else Block
         hooked = {}
         for i in range(self.depth):
+            prec = self.dot_precision
+            if self.block_precisions is not None and self.block_precisions[i] is not None:
+                prec = self.block_precisions[i]
             tokens = block_cls(self.embed_dim, self.num_heads, use_pallas=self.use_pallas,
-                               dot_precision=self.dot_precision, name=f"blocks_{i}")(tokens)
+                               dot_precision=prec, name=f"blocks_{i}")(tokens)
             tokens = self._constrain(tokens)
             if i in self.hooks:
                 hooked[i] = tokens

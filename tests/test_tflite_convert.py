@@ -22,74 +22,19 @@ import pytest
 flatbuffers = pytest.importorskip("flatbuffers")
 
 from depth_estimation_tpu.utils.convert import assign_tflite_weights, flax_layer_order
-from depth_estimation_tpu.utils.tflite import TFLiteOp
-
-
-def _fill_random(tree, rng):
-    if isinstance(tree, dict):
-        return {k: _fill_random(v, rng) for k, v in tree.items()}
-    return rng.standard_normal(tree.shape).astype(np.float32)
+from depth_estimation_tpu.utils.tflite_synth import (
+    fill_random as _fill_random,
+    ordered_slots,
+    to_tflite_stream,
+)
 
 
 def _ordered_slots(model, shape, filled):
-    """(path, leaf-dict) pairs in TRUE execution order for a filled tree."""
-    order, _tpl = flax_layer_order(model, shape)
-    slots = []
-    for path in order:
-        node = filled
-        for p in path:
-            node = node[p]
-        slots.append((path, node))
-    return slots
+    return ordered_slots(model, shape, filled)
 
 
 def _to_tflite_stream(slots, rng, interleave_noise=True):
-    """Synthesize (ops, consts) in execution order from ordered layer slots."""
-    ops, consts = [], {}
-    nxt = [0]
-
-    def add_const(arr):
-        idx = nxt[0]
-        consts[idx] = arr
-        nxt[0] += 1
-        return idx
-
-    def add_act():
-        idx = nxt[0]  # activation tensor: NOT in consts
-        nxt[0] += 1
-        return idx
-
-    for i, (path, leaf) in enumerate(slots):
-        if interleave_noise and i % 3 == 0:
-            # ops the converter must skip (no weights / reshapes)
-            ops.append(TFLiteOp("RESHAPE", [add_act(), add_const(np.array([1, -1], np.int32))], [add_act()]))
-            ops.append(TFLiteOp("ADD", [add_act(), add_act()], [add_act()]))
-        if "alpha" in leaf:
-            a = leaf["alpha"].reshape(1, 1, -1)
-            ops.append(TFLiteOp("PRELU", [add_act(), add_const(a)], [add_act()]))
-            continue
-        k = leaf["kernel"]
-        if k.ndim == 2:  # dense: flax (in, out) → tflite (out, in)
-            ops.append(
-                TFLiteOp("FULLY_CONNECTED", [add_act(), add_const(k.T.copy()), add_const(leaf["bias"])], [add_act()])
-            )
-        elif k.shape[2] == 1 and k.shape[3] > 1:  # depthwise (H, W, 1, C) → (1, H, W, C)
-            ops.append(
-                TFLiteOp(
-                    "DEPTHWISE_CONV_2D",
-                    [add_act(), add_const(k.transpose(2, 0, 1, 3).copy()), add_const(leaf["bias"])],
-                    [add_act()],
-                )
-            )
-        else:  # conv (H, W, I, O) → (O, H, W, I)
-            ops.append(
-                TFLiteOp(
-                    "CONV_2D",
-                    [add_act(), add_const(k.transpose(3, 0, 1, 2).copy()), add_const(leaf["bias"])],
-                    [add_act()],
-                )
-            )
-    return ops, consts
+    return to_tflite_stream(slots, interleave_noise=interleave_noise, rng=rng)
 
 
 def _assert_trees_equal(a, b, path=""):
@@ -296,3 +241,50 @@ def test_miniature_tflite_file_to_params(tmp_path, rng):
     # and the params actually run
     y = jax.jit(net.apply)({"params": out}, np.zeros((1, 8, 8, 3), np.float32))
     assert y.shape == (1, 4)
+
+
+# -- full-size file-level path (tflite_synth serializer) ----------------------
+
+
+def test_serialized_fullsize_file_roundtrip(tmp_path, rng):
+    """serialize_tflite → read_tflite_ops → assign_tflite_weights at a REAL
+    model size (IrisLandmark, the smallest of the five): the complete
+    file-level conversion path with full-size tensors. The other four run
+    via the opt-in drop rehearsal (test_tflite_rehearsal.py)."""
+    from depth_estimation_tpu.models.facemesh import IrisLandmark
+    from depth_estimation_tpu.utils.tflite import read_tflite_ops
+    from depth_estimation_tpu.utils.tflite_synth import synthesize_model_file
+
+    model, shape = IrisLandmark(), (1, 64, 64, 3)
+    blob, filled = synthesize_model_file(model, shape, rng)
+    path = tmp_path / "iris_landmark.tflite"
+    path.write_bytes(blob)
+
+    ops, consts, _names = read_tflite_ops(str(path))
+    out = assign_tflite_weights(ops, consts, model, shape, "IrisLandmark")
+    _assert_trees_equal(out, filled, "IrisLandmark")
+
+
+def test_extra_branch_layers_require_allow_skips(rng):
+    """Mid-stream branch weights (the pose segmentation stand-in) must fail
+    strict matching and succeed with allow_skips (warned)."""
+    from depth_estimation_tpu.models.facemesh import IrisLandmark
+    from depth_estimation_tpu.utils.tflite_synth import (
+        fill_random,
+        ordered_slots,
+        to_tflite_stream,
+    )
+
+    model, shape = IrisLandmark(), (1, 64, 64, 3)
+    _order, tpl = flax_layer_order(model, shape)
+    filled = fill_random(tpl, rng)
+    ops, consts = to_tflite_stream(
+        ordered_slots(model, shape, filled), extra_branch_layers=2, rng=rng
+    )
+    with pytest.raises(ValueError, match="no TFLite weight matches"):
+        assign_tflite_weights(ops, consts, model, shape, "IrisLandmark")
+    with pytest.warns(UserWarning, match="skipped 2 weight op"):
+        out = assign_tflite_weights(
+            ops, consts, model, shape, "IrisLandmark", allow_skips=True
+        )
+    _assert_trees_equal(out, filled, "IrisLandmark")

@@ -53,7 +53,8 @@ def oracle_and_params():
     return params, x, ref
 
 
-def measure(model, params, x, ref, ambient="high", n1=8, n2=24, repeats=2):
+def measure(model, params, x, ref, ambient="high", n1=8, n2=24, repeats=2,
+            time_it=True):
     import jax
     import jax.numpy as jnp
 
@@ -64,6 +65,8 @@ def measure(model, params, x, ref, ambient="high", n1=8, n2=24, repeats=2):
 
     out = np.asarray(fwd(params, x))
     err = float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+    if not time_it:
+        return err, None
 
     def make_loop(n):
         @jax.jit
@@ -95,8 +98,51 @@ def measure(model, params, x, ref, ambient="high", n1=8, n2=24, repeats=2):
     return err, ms
 
 
+def build_per_block(block_precs):
+    import dataclasses
+
+    from depth_estimation_tpu.models.dpt import DPT, DPT_LARGE
+
+    return DPT(dataclasses.replace(DPT_LARGE, block_precisions=tuple(block_precs)))
+
+
+def per_block_bisect(params, x, ref, threshold, mode="suffix", depth=24):
+    """Binary-search the largest k such that k ViT blocks at the TPU's fast
+    single-pass 'default' precision (rest at ambient 'high') still pass the
+    accuracy gate. mode='prefix' defaults the FIRST k blocks (errors get the
+    whole remaining trunk to amplify), 'suffix' the LAST k. Gate checks are
+    one forward each (no slope timing); only the winner gets timed."""
+
+    def precs(k):
+        if mode == "prefix":
+            return ["default"] * k + [None] * (depth - k)
+        return [None] * (depth - k) + ["default"] * k
+
+    def err_of(k):
+        e, _ = measure(build_per_block(precs(k)), params, x, ref, time_it=False)
+        print(f"  {mode} k={k:2d}: err {e:.2e} "
+              f"({'PASS' if e < threshold else 'FAIL'})", flush=True)
+        return e
+
+    # trunk-all-default is the known section-level failure; confirm and
+    # establish the bracket
+    if err_of(depth) < threshold:
+        return depth
+    lo, hi = 0, depth  # invariant: lo passes (k=0 == all-'high'), hi fails
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if err_of(mid) < threshold:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--per-block", action="store_true",
+                    help="per-ViT-block bisect (VERDICT r2 #5) instead of "
+                         "the section-level configs")
     ap.add_argument(
         "--configs",
         nargs="*",
@@ -116,6 +162,28 @@ def main():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         params, x, ref = oracle_and_params()
+
+    if args.per_block:
+        base_err, base_ms = measure(build_per_block([None] * 24), params, x, ref)
+        print(f"baseline all-'high': err {base_err:.2e}, {base_ms:.2f} ms/frame")
+        results = {}
+        for mode in ("suffix", "prefix"):
+            print(f"bisecting {mode}-defaulted blocks:")
+            results[mode] = per_block_bisect(params, x, ref, args.threshold, mode)
+        best_mode = max(results, key=results.get)
+        k = results[best_mode]
+        print(f"max gate-passing: suffix k={results['suffix']}, "
+              f"prefix k={results['prefix']}")
+        if k == 0:
+            print("NEGATIVE: no single block tolerates 'default' within the "
+                  "gate; 'high' everywhere stays the default")
+            return 0
+        precs = (["default"] * k + [None] * (24 - k)) if best_mode == "prefix" \
+            else ([None] * (24 - k) + ["default"] * k)
+        err, ms = measure(build_per_block(precs), params, x, ref)
+        print(f"BEST per-block config: {best_mode} k={k} -> err {err:.2e}, "
+              f"{ms:.2f} ms/frame (vs {base_ms:.2f} all-'high')")
+        return 0
 
     rows = []
     for spec in args.configs:
