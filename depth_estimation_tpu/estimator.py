@@ -187,17 +187,17 @@ class DepthEstimator:
         imgs_sharded = jax.device_put(imgs, NamedSharding(mesh, P("dp")))
         return np.asarray(fn(cached[mesh], imgs_sharded))
 
-    def _batched_fn(self, in_hw: Tuple[int, int]):
+    def _batched_fn(self, in_hw: Tuple[int, int], output: str = "f32"):
         # cached per instance (lru_cache on a method would pin `self` — and
         # its full param tree — in a class-level cache for the process life)
-        key = ("batched", int(in_hw[0]), int(in_hw[1]))
+        key = ("batched", int(in_hw[0]), int(in_hw[1]), output)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._make_batched_fn((int(in_hw[0]), int(in_hw[1])))
+            fn = self._make_batched_fn((int(in_hw[0]), int(in_hw[1])), output)
             self._fn_cache[key] = fn
         return fn
 
-    def _make_batched_fn(self, in_hw: Tuple[int, int]):
+    def _make_batched_fn(self, in_hw: Tuple[int, int], output: str = "f32"):
         cfg = self.preprocess_cfg
         net_hw = compute_resize_shape(*in_hw, cfg)
         mean = jnp.asarray(cfg.mean, jnp.float32)
@@ -205,6 +205,8 @@ class DepthEstimator:
         model = self.model
         dtype = self.dtype
         precision = self.matmul_precision
+        if output == "u8":
+            from depth_estimation_tpu.ops.postprocess import wraparound_u8_jax
 
         @jax.jit
         def batch_fn(params, imgs_u8):
@@ -214,6 +216,9 @@ class DepthEstimator:
                 x = ((x - mean) / std).astype(dtype)
                 pred = model.apply(params, x).astype(jnp.float32)  # (B, h, w)
                 up = resize2d(pred[..., None], in_hw, method="cubic", align_corners=False)
-                return up[..., 0]
+                out = up[..., 0]
+                if output == "u8":
+                    out = wraparound_u8_jax(out)
+                return out
 
         return batch_fn

@@ -74,7 +74,14 @@ class MultiStream:
     def run(self) -> None:
         """Tick until every stream hits EOF; one device dispatch per tick."""
         est = self.estimator
-        fn = est._batched_fn((self.h, self.w))
+        # the faithful wraparound u8 cast happens ON DEVICE (estimator
+        # output='u8'): the per-tick fetch is K u8 frames, 4× fewer D2H
+        # bytes than the f32 maps; stand-ins without the batched-u8 path
+        # fall back to f32 + host cast in _demux
+        try:
+            fn = est._batched_fn((self.h, self.w), output="u8")
+        except TypeError:  # estimator stand-in with the old signature
+            fn = est._batched_fn((self.h, self.w))
         K = len(self.videos)
         batch = np.zeros((K, self.h, self.w, 3), np.uint8)
         pending = None  # (device_preds, mask) one tick in flight
@@ -122,6 +129,8 @@ class MultiStream:
 
     def _demux(self, device_preds, mask) -> None:
         preds = np.asarray(device_preds)
+        if preds.dtype != np.uint8:  # f32 fallback path: cast on host
+            preds = preds.astype(np.uint8)
         for i, live in enumerate(mask):
             if live:
-                self.writers[i].write(merge_gray3(preds[i].astype(np.uint8)))
+                self.writers[i].write(merge_gray3(preds[i]))
