@@ -92,6 +92,21 @@ def e2e_numbers(est, frames, output="u8"):
     return fps, p50_ms
 
 
+def e2e_microbatch_numbers(est, frames, k, depth=2):
+    """Client-observed numbers for the micro-batched streaming path
+    (VidStream(microbatch=k)): K frames per dispatch, ONE K-frame u8 fetch
+    per tick, ``depth`` ticks in flight. Amortizes the per-dispatch/
+    per-fetch RPC K ways. Returns (fps, p50 per-TICK completion ms)."""
+    fn = est._batched_fn(frames[0].shape[:2], output="u8")
+    n = (len(frames) // k) * k
+    batches = [np.stack(frames[i:i + k]) for i in range(0, n, k)]
+    np.asarray(fn(est.params, batches[0]))  # warm
+    fps_ticks, p50 = _pipelined_fetch_loop(
+        lambda b: fn(est.params, b), np.asarray, batches, depth=depth
+    )
+    return fps_ticks * k, p50
+
+
 def make_frames(n, h, w):
     from depth_estimation_tpu.runtime.video import SyntheticSource
 
@@ -360,6 +375,10 @@ def main():
     e2e_fps, p50_ms = e2e_numbers(est, frames, output="u8")
     # old full-f32-map fetch, kept for the D2H comparison
     e2e_f32_fps, p50_f32_ms = e2e_numbers(est, frames, output="f32")
+    # micro-batched transcoding path (VidStream microbatch=4): amortizes the
+    # per-dispatch/per-fetch RPC 4 ways at +4 frames latency
+    mb_frames = make_frames(32, args.height, args.width)
+    e2e_mb4_fps, _mb4_p50 = e2e_microbatch_numbers(est, mb_frames, 4)
 
     cpu_fps = None if args.skip_cpu else cpu_baseline(args.model_type, args.height, args.width)
     vs = (fps / cpu_fps) if cpu_fps else None
@@ -374,6 +393,7 @@ def main():
         "e2e_p50_latency_ms": round(p50_ms, 2),
         "e2e_f32_client_fps": round(e2e_f32_fps, 2),
         "e2e_f32_p50_latency_ms": round(p50_f32_ms, 2),
+        "e2e_microbatch4_client_fps": round(e2e_mb4_fps, 2),
         "d2h_bytes_per_frame": args.height * args.width,
         "d2h_f32_bytes_per_frame": 4 * args.height * args.width,
         "cpu_reference_fps": round(cpu_fps, 4) if cpu_fps else None,

@@ -56,18 +56,26 @@ class VidStream:
 
     def __init__(self, estimator, src=None, output=None, prefetch: bool = True,
                  verbose: bool = True, start_frame: int = 0, retries: int = 2,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, microbatch: int = 1):
         """start_frame: skip the first N frames before processing —
         deterministic resume of an interrupted stream (SURVEY.md §5).
         retries: decode-failure retry budget per frame (ResilientSource).
-        pipeline_depth: frames in flight on device before the oldest is
-        fetched/written (≥1; 1 = fully synchronous)."""
+        pipeline_depth: frames/batches in flight on device before the oldest
+        is fetched/written (≥1; 1 = fully synchronous).
+        microbatch: frames per device dispatch (≥1). K>1 reads K frames,
+        runs ONE batched program and fetches K u8 frames in ONE value fetch —
+        amortizing the per-dispatch/per-fetch round trip K ways (the
+        dominant e2e cost on remote-attached chips; BASELINE.md round 3).
+        Output frames and their order are identical to K=1; the tradeoff is
+        ~K frames of added latency, so it suits file→file transcoding, not
+        interactive use."""
         self.estimator = estimator
         self.video = ResilientSource(open_source(src), retries=retries)
         if prefetch and needs_prefetch(self.video.inner):
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.microbatch = max(1, int(microbatch))
         self.FPS = 1 / 30  # reference constant, unused for pacing (depth_midas.py:45)
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -89,6 +97,21 @@ class VidStream:
             if not ok:
                 break
             self.cnt += 1
+        if self.microbatch > 1:
+            self._update_microbatched()
+        else:
+            self._update_per_frame()
+        dropped = getattr(self.video, "frames_dropped", 0)
+        if dropped and self.verbose:
+            print(f"Dropped {dropped} undecodable frames.")
+        self.video.release()
+        self.writer.release()
+        if self.log.enabled:
+            self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
+                         **self.timer.summary())
+            self.log.close()
+
+    def _update_per_frame(self):
         inflight = deque()  # (device u8 array, t_dispatch, cpu_dispatch)
         while True:
             if not self.video.is_opened():
@@ -109,15 +132,64 @@ class VidStream:
                 self._complete_one(inflight)
         while inflight:
             self._complete_one(inflight)
-        dropped = getattr(self.video, "frames_dropped", 0)
-        if dropped and self.verbose:
-            print(f"Dropped {dropped} undecodable frames.")
-        self.video.release()
-        self.writer.release()
-        if self.log.enabled:
-            self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
-                         **self.timer.summary())
-            self.log.close()
+
+    def _update_microbatched(self):
+        """K-frames-per-dispatch loop: one batched program, one K-frame u8
+        fetch per tick (identical outputs/order to the per-frame loop; the
+        per-frame 'depth' spans record the amortized batch wall, so the FPS
+        report still states per-frame completion throughput)."""
+        K = self.microbatch
+        est = self.estimator
+        try:
+            fn = est._batched_fn((self.h, self.w), output="u8")
+        except TypeError:  # estimator stand-in with the old signature
+            fn = est._batched_fn((self.h, self.w))
+        inflight = deque()  # (device (K,H,W) u8, n_valid, t_dispatch, cpu_dispatch)
+        eof = False
+        while not eof:
+            if not self.video.is_opened():
+                print("Error opening file.")
+                print(f"Sucessfully read {self.cnt} out of {self.video.frame_count} frames.")
+                break
+            # fresh buffer per tick: the dispatched program may still be
+            # reading the previous tick's host memory
+            batch = np.empty((K, self.h, self.w, 3), np.uint8)
+            m = 0
+            while m < K:
+                self.status, frame = self.video.read()
+                if not self.status:
+                    eof = True
+                    break
+                self.frame = frame
+                batch[m] = frame
+                m += 1
+                self.cnt += 1
+                if self.verbose:
+                    print(f"Frame: {self.cnt}")
+            if m == 0:
+                break
+            if m < K:  # tail tick: pad with the last decoded frame (one
+                batch[m:] = batch[m - 1]  # compiled shape; padding discarded)
+            c0 = time.process_time()
+            t0 = time.perf_counter()
+            arr = fn(est.params, batch)
+            inflight.append((arr, m, t0, time.process_time() - c0))
+            if len(inflight) >= self.pipeline_depth:
+                self._complete_batch(inflight)
+        while inflight:
+            self._complete_batch(inflight)
+
+    def _complete_batch(self, inflight):
+        """Fetch + write the oldest in-flight micro-batch (ONE value fetch
+        for its K frames); record K amortized per-frame depth spans."""
+        arr, m, t0, cpu_d = inflight.popleft()
+        c0 = time.process_time()
+        preds = np.asarray(arr)  # the value fetch — one round trip for K frames
+        wall = time.perf_counter() - t0
+        cpu = cpu_d + time.process_time() - c0
+        for i in range(m):
+            self.timer.record_span("depth", wall / m, cpu / m)
+            self._write_gray(preds[i])
 
     def _predict_u8(self, frame):
         """Dispatch the u8-output frame program (postprocess cast on device);

@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--output", default="midas_output.avi")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
+    parser.add_argument("--microbatch", type=int, default=1,
+                        help="frames per device dispatch (K>1 amortizes the "
+                        "per-dispatch/per-fetch round trip K ways; identical "
+                        "output, ~K frames more latency — for file→file runs)")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--trace", nargs="?", const="./jax_trace", default=None,
                         metavar="DIR",
@@ -40,7 +44,7 @@ def main(argv=None):
 
     midas = DepthEstimator(args.model_type, dtype=args.dtype)
     video_stream = VidStream(midas, args.src, args.output, verbose=not args.quiet,
-                             start_frame=args.start_frame)
+                             start_frame=args.start_frame, microbatch=args.microbatch)
     from depth_estimation_tpu.runtime.tracing import maybe_trace
 
     with maybe_trace(args.trace is not None, args.trace) as tdir:

@@ -144,6 +144,45 @@ def test_vidstream_pipeline_depth_equivalent(estimator, depth):
     np.testing.assert_array_equal(sinks[0].last_frame, sinks[1].last_frame)
 
 
+class _CollectSink(NullSink):
+    def __init__(self):
+        super().__init__()
+        self.frames = []
+
+    def write(self, frame):
+        super().write(frame)
+        self.frames.append(np.asarray(frame).copy())
+
+
+@pytest.mark.parametrize("n,k", [(7, 3), (6, 3), (5, 8)])
+def test_vidstream_microbatch_equivalent(estimator, n, k):
+    """microbatch=K (one batched dispatch + one K-frame fetch per tick) must
+    write byte-identical frames in the same order as the per-frame loop —
+    including a padded tail tick (n % k != 0) and K > n."""
+    per_frame, micro = _CollectSink(), _CollectSink()
+    VidStream(estimator, SyntheticSource(n, 96, 128), per_frame,
+              verbose=False).update()
+    vs = VidStream(estimator, SyntheticSource(n, 96, 128), micro,
+                   verbose=False, microbatch=k)
+    vs.update()
+    assert len(micro.frames) == len(per_frame.frames) == n
+    for got, want in zip(micro.frames, per_frame.frames):
+        np.testing.assert_array_equal(got, want)
+    # the amortized spans still cover every frame
+    assert len(vs.timer.performance["depth"]) == n
+
+
+def test_vidstream_microbatch_resume(estimator):
+    """start_frame resume composes with the micro-batched loop."""
+    full, resumed = _CollectSink(), _CollectSink()
+    VidStream(estimator, SyntheticSource(6, 96, 128), full,
+              verbose=False, microbatch=2).update()
+    VidStream(estimator, SyntheticSource(6, 96, 128), resumed,
+              verbose=False, microbatch=2, start_frame=4).update()
+    assert len(resumed.frames) == 2
+    np.testing.assert_array_equal(resumed.frames[-1], full.frames[-1])
+
+
 class _SlowFetchArray:
     """Mimics an async device result: dispatch returns instantly, the value
     materializes only when fetched (np.asarray), after a wall-clock delay
