@@ -15,7 +15,12 @@ TPU-first design points:
   computes while tick t-1's results are demuxed/encoded (same 1-deep
   software pipeline as VidStream);
 * output semantics per stream are exactly VidStream's: raw uint8 cast
-  (wraparound preserved) → gray→3ch → sink.
+  (wraparound preserved) → gray→3ch → sink;
+* ``microbatch=M`` reads M frames per stream per tick — a (K·M, …) batch
+  per dispatch with ONE K·M-frame u8 fetch, amortizing the per-tick
+  round trip M ways on top of the K-way stream batching (BASELINE.md
+  round 3: the fetch RPC dominates client-observed serving throughput
+  on remote-attached chips).
 """
 
 from __future__ import annotations
@@ -44,7 +49,13 @@ class MultiStream:
     """
 
     def __init__(self, estimator, sources: Sequence, outputs: Optional[Sequence] = None,
-                 prefetch: bool = True, verbose: bool = True, retries: int = 2):
+                 prefetch: bool = True, verbose: bool = True, retries: int = 2,
+                 microbatch: int = 1):
+        """microbatch: frames read per stream per tick (≥1). M>1 dispatches
+        a (K·M, H, W, 3) batch and fetches K·M u8 frames in ONE value fetch
+        — amortizing the per-tick dispatch/fetch round trip M ways on top of
+        the K-way stream batching (file→file serving mode; adds ~M frames
+        of latency per stream; per-stream outputs and order unchanged)."""
         if outputs is None:
             outputs = [None] * len(sources)
         if len(outputs) != len(sources):
@@ -68,6 +79,7 @@ class MultiStream:
         self.writers = [open_sink(o, (self.w, self.h), fps=20) for o in outputs]
         self.alive = [True] * len(self.videos)
         self.counts = [0] * len(self.videos)
+        self.microbatch = max(1, int(microbatch))
         self.verbose = verbose
         self.timer = StageTimer()
 
@@ -83,35 +95,39 @@ class MultiStream:
         except TypeError:  # estimator stand-in with the old signature
             fn = est._batched_fn((self.h, self.w))
         K = len(self.videos)
-        batch = np.zeros((K, self.h, self.w, 3), np.uint8)
-        pending = None  # (device_preds, mask) one tick in flight
+        M = self.microbatch
+        batch = np.zeros((K * M, self.h, self.w, 3), np.uint8)
+        pending = None  # (device_preds, per-stream valid counts) one tick in flight
         tick = 0
         while any(self.alive):
-            mask = []
+            valid = []  # frames read per stream this tick (0..M)
             for i, v in enumerate(self.videos):
-                if not self.alive[i]:
-                    mask.append(False)
-                    continue
-                ok, frame = v.read()
-                if not ok:
-                    self.alive[i] = False
-                    mask.append(False)
-                    continue
-                batch[i] = frame
-                self.counts[i] += 1
-                mask.append(True)
-            if not any(mask):
+                m = 0
+                if self.alive[i]:
+                    while m < M:
+                        ok, frame = v.read()
+                        if not ok:
+                            self.alive[i] = False
+                            break
+                        batch[i * M + m] = frame
+                        m += 1
+                    self.counts[i] += m
+                # dead/short slots keep their last content — constant batch
+                # shape (one executable); the padded results are never written
+                if 0 < m < M:
+                    batch[i * M + m:(i + 1) * M] = batch[i * M + m - 1]
+                valid.append(m)
+            if not any(valid):
                 break
-            # dead slots keep their last frame — constant batch shape, the
-            # masked results are simply never written
             with self.timer.stage("depth"):
                 preds = fn(est.params, batch)
             if pending is not None:
                 self._demux(*pending)
-            pending = (preds, mask)
+            pending = (preds, valid)
             tick += 1
             if self.verbose:
-                print(f"Tick: {tick} ({sum(mask)}/{K} live)")
+                live = sum(1 for m in valid if m)
+                print(f"Tick: {tick} ({live}/{K} live)")
         if pending is not None:
             self._demux(*pending)
         for v in self.videos:
@@ -124,13 +140,14 @@ class MultiStream:
             if self.timer.performance.get("depth"):
                 print(
                     f"Depth: {self.timer.fps('depth')} "
-                    f"(batched ticks; x{K} frames/tick)"
+                    f"(batched ticks; x{K * M} frames/tick)"
                 )
 
-    def _demux(self, device_preds, mask) -> None:
-        preds = np.asarray(device_preds)
+    def _demux(self, device_preds, valid) -> None:
+        preds = np.asarray(device_preds)  # ONE value fetch for all K·M frames
         if preds.dtype != np.uint8:  # f32 fallback path: cast on host
             preds = preds.astype(np.uint8)
-        for i, live in enumerate(mask):
-            if live:
-                self.writers[i].write(merge_gray3(preds[i]))
+        M = self.microbatch
+        for i, m in enumerate(valid):
+            for j in range(m):
+                self.writers[i].write(merge_gray3(preds[i * M + j]))

@@ -21,12 +21,17 @@ def main(argv=None):
     ap.add_argument("--model-type", default="MiDaS_small",
                     choices=("MiDaS_small", "DPT_Large", "DPT_Hybrid"))
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--microbatch", type=int, default=1,
+                    help="frames per stream per tick (M>1 amortizes the "
+                    "per-tick dispatch/fetch round trip M ways; identical "
+                    "outputs, ~M frames more latency — for file→file runs)")
     args = ap.parse_args(argv)
 
     from depth_estimation_tpu import DepthEstimator, MultiStream
 
     est = DepthEstimator(args.model_type)
-    MultiStream(est, args.src, args.output, verbose=not args.quiet).run()
+    MultiStream(est, args.src, args.output, verbose=not args.quiet,
+                microbatch=args.microbatch).run()
 
 
 if __name__ == "__main__":

@@ -79,6 +79,59 @@ def test_multistream_matches_per_stream_predict(est):
     _assert_streams_match(sinks, expected, lengths)
 
 
+def drive_microbatched(est, sources, hw, M):
+    """Mirror driver for MultiStream(microbatch=M): read up to M frames per
+    live stream per tick into a (K*M,...) batch (stream-major), pad short
+    slots with the last frame, run the batched program, demux valid
+    results per stream."""
+    fn = est._batched_fn(hw, output="u8")
+    K = len(sources)
+    batch = np.zeros((K * M, *hw, 3), np.uint8)
+    alive = [True] * K
+    expected = [[] for _ in sources]
+    while any(alive):
+        valid = []
+        for i, s in enumerate(sources):
+            m = 0
+            if alive[i]:
+                while m < M:
+                    ok, f = s.read()
+                    if not ok:
+                        alive[i] = False
+                        break
+                    batch[i * M + m] = f
+                    m += 1
+            if 0 < m < M:
+                batch[i * M + m:(i + 1) * M] = batch[i * M + m - 1]
+            valid.append(m)
+        if not any(valid):
+            break
+        preds = np.asarray(fn(est.params, batch))
+        for i, m in enumerate(valid):
+            for j in range(m):
+                expected[i].append(merge_gray3(preds[i * M + j]))
+    for s in sources:
+        s.release()
+    return expected
+
+
+@pytest.mark.parametrize("M", [2, 4])
+def test_multistream_microbatch_matches_driver(est, M):
+    """microbatch=M must write the same per-stream frames in order —
+    including streams ending mid-tick (lengths not multiples of M) and a
+    stream shorter than one tick."""
+    lengths = [5, 3, 1]
+    sources = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
+    sinks = [CollectSink() for _ in lengths]
+    ms = MultiStream(est, sources, sinks, verbose=False, microbatch=M)
+    ms.run()
+    assert ms.counts == lengths
+
+    sources2 = [SyntheticSource(n, 64, 96, seed=i) for i, n in enumerate(lengths)]
+    expected = drive_microbatched(est, sources2, (64, 96), M)
+    _assert_streams_match(sinks, expected, lengths)
+
+
 def test_multistream_rejects_mixed_resolutions(est):
     with pytest.raises(ValueError):
         MultiStream(est, [SyntheticSource(2, 64, 96), SyntheticSource(2, 32, 48)])
