@@ -227,6 +227,17 @@ def bench_fused(args):
     runner = FusedFrameRunner(est, det, emit_depth_map=False)
     jax.device_get(runner(frames[0]))  # warm
     e2e_fps, p50 = _pipelined_fetch_loop(runner, jax.device_get, frames)
+    # micro-batched transcoding mode (FusedVidStream microbatch=4): the
+    # vmapped fused program runs BOTH landmark branches per frame, but 4
+    # frames ride one dispatch + one fetch (PARITY #13)
+    k = 4
+    mb_frames = make_frames(max(4 * args.frames, 32), h, w)
+    batches = [np.stack(mb_frames[i:i + k])
+               for i in range(0, (len(mb_frames) // k) * k, k)]
+    jax.device_get(runner.batched(batches[0]))  # warm (vmapped compile)
+    mb_ticks_fps, _ = _pipelined_fetch_loop(
+        runner.batched, jax.device_get, batches
+    )
     print(json.dumps({
         "metric": f"fused_iris_{args.model_type}_{h}x{w}_fps_per_chip",
         "value": round(1e3 / ms, 2),
@@ -236,6 +247,7 @@ def bench_fused(args):
         "dtype": args.dtype,
         "e2e_client_fps": round(e2e_fps, 2),
         "e2e_p50_latency_ms": round(p50, 2),
+        "e2e_microbatch4_client_fps": round(mb_ticks_fps * k, 2),
     }))
 
 

@@ -359,20 +359,52 @@ class FusedFrameRunner:
         self.emit_depth_map = emit_depth_map
         self._cache = {}
 
-    def __call__(self, img_u8, fallback_pts=None):
-        """``fallback_pts``: optional (2, 2) int array of stored head points
-        for the device-side body-fallback depth sample (mesh mode only)."""
-        key = img_u8.shape[:2]
-        fn = self._cache.get(key)
+    def _frame_fn(self, hw):
+        fn = self._cache.get(hw)
         if fn is None:
             if self.mesh:
                 fn = make_fused_iris_frame_fn(
-                    self.estimator, self.detector, key, include_pose=self.pose,
+                    self.estimator, self.detector, hw, include_pose=self.pose,
                     emit_depth_map=self.emit_depth_map,
                 )
             else:
-                fn = make_fused_frame_fn(self.estimator, self.detector, key)
+                fn = make_fused_frame_fn(self.estimator, self.detector, hw)
+            self._cache[hw] = fn
+        return fn
+
+    def batched(self, imgs_u8, fallback_pts=None):
+        """Micro-batched dispatch: (K, H, W, 3) frames through ``jax.vmap``
+        of the fused program. vmap turns the ``lax.cond`` into a select, so
+        BOTH landmark branches run for every frame (0.82-0.85× the
+        per-frame on-chip rate, BASELINE.md) — but the K frames cost ONE
+        dispatch + ONE fetch, which wins client wall where the per-call
+        round trip dominates (+62-94% at K=4 across models/sessions
+        through a tunneled chip — BASELINE.md).
+        Mesh mode only. ``fallback_pts``: optional (K, 2, 2) int array."""
+        if not self.mesh:
+            raise ValueError("batched dispatch requires mesh=True")
+        K = imgs_u8.shape[0]
+        hw = imgs_u8.shape[1:3]
+        key = ("batched", hw, K)
+        fn = self._cache.get(key)
+        if fn is None:
+            base = self._frame_fn(hw)
+            in_axes = (None, None, None, None, 0, 0) if self.pose else (
+                None, None, None, 0, 0)
+            fn = jax.jit(jax.vmap(base, in_axes=in_axes))
             self._cache[key] = fn
+        pts = (jnp.zeros((K, 2, 2), jnp.int32) if fallback_pts is None
+               else jnp.asarray(fallback_pts, jnp.int32))
+        args = [self.estimator.params, self.detector._face_det_params,
+                self.detector._mesh_params]
+        if self.pose:
+            args.append(self.detector._pose_params)
+        return fn(*args, imgs_u8, pts)
+
+    def __call__(self, img_u8, fallback_pts=None):
+        """``fallback_pts``: optional (2, 2) int array of stored head points
+        for the device-side body-fallback depth sample (mesh mode only)."""
+        fn = self._frame_fn(img_u8.shape[:2])
         if self.mesh:
             pts = _zero_pts() if fallback_pts is None else jnp.asarray(
                 fallback_pts, jnp.int32

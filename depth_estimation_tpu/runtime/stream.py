@@ -229,7 +229,7 @@ class FusedVidStream:
 
     def __init__(self, estimator, detector, face, src=None, output=None,
                  verbose: bool = True, fused: bool = True, start_frame: int = 0,
-                 retries: int = 2, pipeline_depth: int = 2):
+                 retries: int = 2, pipeline_depth: int = 2, microbatch: int = 1):
         """fused=True computes depth + face detection + FaceMesh/iris +
         BlazePose fallback + output postprocess + depth sampling in ONE XLA
         dispatch per frame (runtime/fused.py), fetched with ONE device_get.
@@ -237,7 +237,11 @@ class FusedVidStream:
         pipeline_depth: fused-mode frames in flight before the oldest is
         fetched (1 = synchronous, exact reference ordering; the default 2
         overlaps host work with device compute — see docs/PARITY.md for the
-        one-frame-staler body-fallback sampling points this implies)."""
+        one-frame-staler body-fallback sampling points this implies).
+        microbatch: frames per device dispatch (fused mode only). K>1 vmaps
+        the fused program over K frames — one dispatch + one fetch per K
+        frames (docs/PARITY.md #13; body-fallback points are up to
+        K·pipeline_depth frames stale)."""
         self.detector = detector
         self.estimator = estimator
         self.face = face
@@ -246,6 +250,7 @@ class FusedVidStream:
             self.video = PrefetchSource(self.video)
         self.start_frame = int(start_frame)
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.microbatch = max(1, int(microbatch))
         self._fused_runner = None
         self._fused_pose = None  # device pose landmarks for the current frame
         # device-side depth sampling implements the faithful get_depth
@@ -258,6 +263,10 @@ class FusedVidStream:
             self._fused_runner = FusedFrameRunner(
                 estimator, detector, emit_depth_map=not self._device_samples
             )
+        if self.microbatch > 1 and (
+            self._fused_runner is None or not self._fused_runner.mesh
+        ):
+            raise ValueError("microbatch>1 requires the fused (mesh) pipeline")
         self.FPS = 1 / 30
         self.FPS_MS = int(self.FPS * 1000)
         self.w = int(self.video.width)
@@ -280,6 +289,8 @@ class FusedVidStream:
             if not ok:
                 break
             self.cnt += 1
+        if self.microbatch > 1:
+            return self._stream_microbatched()
         inflight = deque()  # (frame, out handles, had_pts, t_dispatch, cpu_dispatch)
         while True:
             if not self.video.is_opened():
@@ -357,6 +368,82 @@ class FusedVidStream:
         self.video.release()
         self.writer.release()
 
+    # -- fused-mode micro-batched loop (docs/PARITY.md #13) ------------------
+
+    def _stream_microbatched(self):
+        """K frames per vmapped fused dispatch, one device_get per tick;
+        the per-frame host half runs at demux in frame order."""
+        K = self.microbatch
+        inflight = deque()  # (frames list, out handles, had_pts, t0, cpu_d)
+        eof = open_error = False
+        while not eof:
+            if not self.video.is_opened():
+                while inflight:
+                    self._process_fused_batch(inflight.popleft())
+                print("Error opening file.")
+                print(f"Sucessfully read {self.cnt} out of {self.video.frame_count} frames.")
+                open_error = True
+                break
+            frames = []
+            while len(frames) < K:
+                self.status, frame = self.video.read()
+                if not self.status:
+                    eof = True
+                    break
+                frames.append(frame)
+                self.cnt += 1
+                if self.verbose:
+                    print(f"Frame: {self.cnt}")
+            if frames:
+                # tail tick pads with the last decoded frame (one compiled
+                # shape); padded results are never demuxed
+                batch = np.stack(frames + [frames[-1]] * (K - len(frames)))
+                pts = self.face.head_pts
+                had_pts = pts is not None
+                pts_arr = np.zeros((K, 2, 2), np.int32)
+                if had_pts:
+                    pts_arr[:] = [[int(pts[0][0]), int(pts[0][1])],
+                                  [int(pts[1][0]), int(pts[1][1])]]
+                c0 = time.process_time()
+                t0 = time.perf_counter()
+                out = self._fused_runner.batched(batch, fallback_pts=pts_arr)
+                inflight.append((frames, out, had_pts, t0, time.process_time() - c0))
+                if len(inflight) >= self.pipeline_depth:
+                    self._process_fused_batch(inflight.popleft())
+        while inflight:
+            self._process_fused_batch(inflight.popleft())
+        if not open_error:
+            # end-of-stream report (midas_mediapipe.py:118-122)
+            print("Performance stats in FPS:")
+            for stage in ("iris", "body", "depth"):
+                if self.performance[stage]:
+                    print(f"{stage.capitalize()}: {1 // median(self.performance[stage])}")
+        dropped = getattr(self.video, "frames_dropped", 0)
+        if dropped and self.verbose:
+            print(f"Dropped {dropped} undecodable frames.")
+        if self.log.enabled:
+            self.log.log("stream_end", frames=self.cnt, frames_dropped=dropped,
+                         **self.timer.summary())
+            self.log.close()
+        self.video.release()
+        self.writer.release()
+
+    def _process_fused_batch(self, entry):
+        """Fetch a tick's K-frame outputs in one device_get, then run the
+        per-frame host half for each valid frame in order; the depth stage
+        records K amortized completion spans."""
+        import jax
+
+        frames, out, had_pts, t0, cpu_d = entry
+        c0 = time.process_time()
+        out = jax.device_get(out)  # ONE round trip for the whole tick
+        wall = time.perf_counter() - t0
+        cpu = cpu_d + time.process_time() - c0
+        m = len(frames)
+        for j, frame in enumerate(frames):
+            self.timer.record_span("depth", wall / m, cpu / m)
+            self._host_frame(frame, {k: v[j] for k, v in out.items()}, had_pts)
+
     # -- fused-mode frame completion ----------------------------------------
 
     def _process_fused(self, entry):
@@ -371,6 +458,11 @@ class FusedVidStream:
         self.timer.record_span(
             "depth", time.perf_counter() - t0, cpu_d + time.process_time() - c0
         )
+        self._host_frame(frame, out, had_pts)
+
+    def _host_frame(self, frame, out, had_pts):
+        """Host half for ONE frame's fetched outputs: face-state fill,
+        depth-sample recording, HUD and output routing."""
         self.frame = frame
         self.face.mesh = None  # per-frame detection reset (:51)
         found = bool(out["valid"][0])

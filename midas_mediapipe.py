@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--start-frame", type=int, default=0, help="resume from frame N")
     parser.add_argument("--no-fused", action="store_true",
                         help="run depth and detection as separate dispatches")
+    parser.add_argument("--microbatch", type=int, default=1,
+                        help="frames per fused dispatch (K>1 amortizes the "
+                        "per-dispatch/per-fetch round trip K ways; for "
+                        "file→file runs — docs/PARITY.md #13)")
     parser.add_argument("--trace", nargs="?", const="./jax_trace", default=None,
                         metavar="DIR",
                         help="capture a jax.profiler xplane device trace of "
@@ -53,7 +57,8 @@ def main(argv=None):
     detector = PersonDetector(face)
     video_stream = VidStream(estimator, detector, face, args.src, args.output,
                              verbose=not args.quiet, fused=not args.no_fused,
-                             start_frame=args.start_frame)
+                             start_frame=args.start_frame,
+                             microbatch=args.microbatch)
     from depth_estimation_tpu.runtime.tracing import maybe_trace
 
     with maybe_trace(args.trace is not None, args.trace) as tdir:

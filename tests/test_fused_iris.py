@@ -296,6 +296,68 @@ def test_fused_stream_pipeline_depth_equivalent(estimator, depth):
     np.testing.assert_allclose(face_a.s2c_ds, face_b.s2c_ds, rtol=1e-6)
 
 
+@pytest.mark.parametrize("k", [2, 8])
+def test_fused_stream_microbatch_equivalent(estimator, k):
+    """microbatch=K (vmapped fused program, one dispatch + one fetch per K
+    frames) must write the same frame count and record the same per-frame
+    depth samples/distances as the per-frame fused loop — incl. a padded
+    tail tick (5 % 2 != 0) and K > n. Frames compare within 1 u8 step
+    (batched-vs-single XLA reduction order)."""
+    from depth_estimation_tpu.runtime.stream import FusedVidStream
+    from depth_estimation_tpu.runtime.video import NullSink, SyntheticSource
+
+    def run(mb):
+        det, face = _make_detector()
+        sink = NullSink()
+        vs = FusedVidStream(estimator, det, face, SyntheticSource(5, 120, 160),
+                            sink, verbose=False, microbatch=mb)
+        vs.stream()
+        return face, sink, vs
+
+    face_a, sink_a, _ = run(1)
+    face_b, sink_b, vs_b = run(k)
+    assert sink_a.frames_written == sink_b.frames_written == 5
+    assert vs_b.cnt == 5
+    diff = np.abs(sink_a.last_frame.astype(np.int16) - sink_b.last_frame.astype(np.int16))
+    assert diff.max() <= 1, f"frame mismatch: max |Δ| = {diff.max()}"
+    np.testing.assert_allclose(face_a.ri_depths, face_b.ri_depths, rtol=1e-5)
+    np.testing.assert_allclose(face_a.s2c_ds, face_b.s2c_ds, rtol=1e-5)
+    # amortized spans still cover every frame
+    assert len(vs_b.timer.performance["depth"]) == 5
+
+
+def test_fused_stream_microbatch_one_fetch_per_tick(estimator, monkeypatch):
+    """5 frames at microbatch=2 → 3 ticks → exactly 3 device_gets."""
+    import jax
+
+    from depth_estimation_tpu.runtime.stream import FusedVidStream
+    from depth_estimation_tpu.runtime.video import NullSink, SyntheticSource
+
+    det, face = _make_detector()
+    vs = FusedVidStream(estimator, det, face, SyntheticSource(5, 120, 160),
+                        NullSink(), verbose=False, microbatch=2)
+    calls = {"n": 0}
+    real = jax.device_get
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(jax, "device_get", counting)
+    vs.stream()
+    assert calls["n"] == 3, f"expected 3 tick fetches, saw {calls['n']}"
+
+
+def test_fused_stream_microbatch_requires_fused(estimator):
+    from depth_estimation_tpu.runtime.stream import FusedVidStream
+    from depth_estimation_tpu.runtime.video import NullSink, SyntheticSource
+
+    det, face = _make_detector()
+    with pytest.raises(ValueError, match="microbatch"):
+        FusedVidStream(estimator, det, face, SyntheticSource(2, 120, 160),
+                       NullSink(), verbose=False, fused=False, microbatch=2)
+
+
 def test_fused_stream_single_device_get(estimator, monkeypatch):
     """ADVICE r2 (medium): the fused streaming path must fetch each frame's
     outputs with exactly ONE jax.device_get — every extra fetch is its own
