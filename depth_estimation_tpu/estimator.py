@@ -167,25 +167,66 @@ class DepthEstimator:
         fn = self._batched_fn(imgs.shape[1:3])
         return np.asarray(fn(self.params, imgs))
 
-    def predict_batch_sharded(self, imgs: np.ndarray, mesh) -> np.ndarray:
-        """Batched inference data-parallel over a device mesh's ``dp`` axis
-        (SURVEY.md §2c: DP across chips over ICI for batched stills).
-
-        Batch size must be divisible by the dp axis size. Params are
-        replicated once per mesh and cached.
-        """
+    def _params_for_mesh(self, mesh, tensor_parallel: bool):
+        """Params placed on ``mesh``: megatron-style TP sharding of the
+        transformer matmuls (parallel/mesh.py::_TP_RULES) when requested
+        and the mesh has a ``tp`` axis of size > 1, replicated otherwise.
+        Cached per (mesh, mode) — keyed by the Mesh object itself, which is
+        hashable; id() could be reused after GC, serving stale placements."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        # keyed by the Mesh object itself (hashable) — id() can be reused
-        # after a mesh is garbage-collected, serving stale placements
+        tp = (tensor_parallel and "tp" in mesh.axis_names
+              and mesh.shape["tp"] > 1)
         cached = getattr(self, "_mesh_params", None)
         if cached is None:
             cached = self._mesh_params = {}
-        if mesh not in cached:
-            cached[mesh] = jax.device_put(self.params, NamedSharding(mesh, P()))
+        key = (mesh, tp)
+        if key not in cached:
+            if tp:
+                from depth_estimation_tpu.parallel.mesh import shard_params
+
+                cached[key] = shard_params(self.params, mesh)
+            else:
+                cached[key] = jax.device_put(
+                    self.params, NamedSharding(mesh, P())
+                )
+        return cached[key]
+
+    def predict_batch_sharded(
+        self, imgs: np.ndarray, mesh, tensor_parallel: bool = True
+    ) -> np.ndarray:
+        """Batched inference over a device mesh: batch data-parallel over
+        the ``dp`` axis (SURVEY.md §2c: DP across chips over ICI for
+        batched stills), and — when the mesh has a ``tp`` axis > 1 —
+        transformer matmuls tensor-parallel over ``tp`` (GSPMD inserts the
+        per-layer psums; models without attn/mlp blocks just replicate).
+
+        Batch size must be divisible by the dp axis size. Params are
+        placed once per (mesh, mode) and cached.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = self._params_for_mesh(mesh, tensor_parallel)
         fn = self._batched_fn(imgs.shape[1:3])
         imgs_sharded = jax.device_put(imgs, NamedSharding(mesh, P("dp")))
-        return np.asarray(fn(cached[mesh], imgs_sharded))
+        return np.asarray(fn(params, imgs_sharded))
+
+    def predict_sharded(self, img: np.ndarray, mesh) -> np.ndarray:
+        """Single-frame inference with the transformer matmuls
+        tensor-parallel over the mesh's ``tp`` axis — SURVEY.md §2c's
+        optional extension (TP of DPT attention/MLP across ICI) for
+        cutting single-frame latency beyond one chip. The frame is
+        replicated (its preprocess is negligible); qkv/fc1 run
+        column-parallel and proj/fc2 row-parallel per
+        parallel/mesh.py::_TP_RULES, with XLA inserting the two psums per
+        block over ICI. Conv-only models (MiDaS_small) fall back to
+        replicated execution unchanged."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = self._params_for_mesh(mesh, tensor_parallel=True)
+        fn = self.frame_fn(img.shape[:2])
+        img_rep = jax.device_put(np.asarray(img), NamedSharding(mesh, P()))
+        return np.asarray(fn(params, img_rep))
 
     def _batched_fn(self, in_hw: Tuple[int, int], output: str = "f32"):
         # cached per instance (lru_cache on a method would pin `self` — and

@@ -150,3 +150,59 @@ def test_grad_accumulation_matches_full_batch(rng):
     with _pytest.raises(ValueError):
         make_train_step(lambda v, im: model.apply(v, im), tx, donate=False,
                         accum_steps=3)(init_state(variables, tx), x, gt)
+
+
+# -- TP inference (SURVEY §2c optional extension) ----------------------------
+
+
+@pytest.fixture(scope="module")
+def tp_estimator():
+    """Tiny DPT behind the estimator API, preprocess pinned to the model's
+    64×64 grid, so predict_sharded exercises the real TP rules."""
+    import warnings
+
+    from depth_estimation_tpu import registry
+    from depth_estimation_tpu.config import PreprocessConfig
+    from depth_estimation_tpu.estimator import DepthEstimator
+
+    pre = PreprocessConfig(target_height=64, target_width=64,
+                           keep_aspect_ratio=False, ensure_multiple_of=32)
+    registry.register(registry.ModelEntry(
+        "TinyDPT_tp_test", lambda: DPT(TINY), pre, lambda sd: sd))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return DepthEstimator("TinyDPT_tp_test", verbose=False)
+
+
+def test_predict_sharded_tp_matches_single(tp_estimator):
+    """Single-frame TP inference (estimator.predict_sharded): qkv/fc1
+    column-parallel + proj/fc2 row-parallel over tp=8 must reproduce the
+    single-device frame program."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    single = tp_estimator.predict(img)
+    mesh = make_mesh(8, tp=8)
+    with mesh:
+        tp_out = tp_estimator.predict_sharded(img, mesh)
+    np.testing.assert_allclose(tp_out, single, rtol=2e-5, atol=2e-5)
+    # the cache must hold genuinely TP-sharded params, not replicas
+    cached = tp_estimator._mesh_params[(mesh, True)]
+    leaves = jax.tree_util.tree_leaves_with_path(cached)
+    qkv = [v for p, v in leaves
+           if "qkv" in jax.tree_util.keystr(p) and v.ndim == 2]
+    assert qkv and all(
+        v.sharding.spec == P(None, "tp") for v in qkv
+    ), "qkv kernels are not column-sharded over tp"
+
+
+def test_predict_batch_sharded_dp_tp_matches_single(tp_estimator):
+    """Batched stills over a (dp=2, tp=4) mesh — DP over the batch axis
+    composed with TP of the transformer matmuls — must match
+    predict_batch."""
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (4, 96, 128, 3), np.uint8)
+    single = tp_estimator.predict_batch(imgs)
+    mesh = make_mesh(8, tp=4)
+    with mesh:
+        sharded = tp_estimator.predict_batch_sharded(imgs, mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
