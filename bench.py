@@ -75,20 +75,25 @@ def e2e_numbers(est, frames, output="u8"):
     """Client-observed numbers for the SHIPPED streaming transfer path:
     output='u8' fetches the device-postprocessed uint8 frame (what
     VidStream writes — 4× fewer D2H bytes than the f32 map, VERDICT r2 #1);
-    output='f32' measures the old full-map fetch for comparison."""
+    output='f32' measures the old full-map fetch for comparison.
+
+    Warm-up, latency and throughput use DISJOINT frames: re-dispatching an
+    identical (params, frame) pair hits the remote computation cache on
+    the tunneled chip (CLAUDE.md) and would inflate the numbers."""
     fn = est.frame_fn(frames[0].shape[:2], output=output)
     np.asarray(fn(est.params, frames[0]))  # warm
     lat = []
-    for f in frames[:8]:
+    for f in frames[1:9]:
         t0 = time.perf_counter()
         np.asarray(fn(est.params, f))
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+    thr = frames[9:]
     t0 = time.perf_counter()
-    outs = [fn(est.params, f) for f in frames]
+    outs = [fn(est.params, f) for f in thr]
     for o in outs:
         np.asarray(o)
-    fps = len(frames) / (time.perf_counter() - t0)
+    fps = len(thr) / (time.perf_counter() - t0)
     return fps, p50_ms
 
 
@@ -101,8 +106,10 @@ def e2e_microbatch_numbers(est, frames, k, depth=2):
     n = (len(frames) // k) * k
     batches = [np.stack(frames[i:i + k]) for i in range(0, n, k)]
     np.asarray(fn(est.params, batches[0]))  # warm
+    # measure batches[1:] only — re-dispatching the identical warm batch
+    # would hit the remote computation cache (CLAUDE.md)
     fps_ticks, p50 = _pipelined_fetch_loop(
-        lambda b: fn(est.params, b), np.asarray, batches, depth=depth
+        lambda b: fn(est.params, b), np.asarray, batches[1:], depth=depth
     )
     return fps_ticks * k, p50
 
@@ -226,17 +233,19 @@ def bench_fused(args):
     # pipeline depth 2
     runner = FusedFrameRunner(est, det, emit_depth_map=False)
     jax.device_get(runner(frames[0]))  # warm
-    e2e_fps, p50 = _pipelined_fetch_loop(runner, jax.device_get, frames)
+    # warm/measure inputs kept disjoint throughout: identical re-dispatches
+    # hit the remote computation cache (CLAUDE.md)
+    e2e_fps, p50 = _pipelined_fetch_loop(runner, jax.device_get, frames[1:])
     # micro-batched transcoding mode (FusedVidStream microbatch=4): the
     # vmapped fused program runs BOTH landmark branches per frame, but 4
     # frames ride one dispatch + one fetch (PARITY #13)
     k = 4
-    mb_frames = make_frames(max(4 * args.frames, 32), h, w)
+    mb_frames = make_frames(max(4 * args.frames, 36), h, w)
     batches = [np.stack(mb_frames[i:i + k])
                for i in range(0, (len(mb_frames) // k) * k, k)]
     jax.device_get(runner.batched(batches[0]))  # warm (vmapped compile)
     mb_ticks_fps, _ = _pipelined_fetch_loop(
-        runner.batched, jax.device_get, batches
+        runner.batched, jax.device_get, batches[1:]
     )
     print(json.dumps({
         "metric": f"fused_iris_{args.model_type}_{h}x{w}_fps_per_chip",
@@ -297,12 +306,13 @@ def bench_detection(args):
     runner = FusedDetectionRunner(det)  # device_get inside -> each call is
     runner(frames[0])  # warm               # a complete dispatch+fetch
     lat = []
+    meas = frames[1:]  # disjoint from the warm frame (remote comp cache)
     t0 = time.perf_counter()
-    for f in frames:
+    for f in meas:
         t1 = time.perf_counter()
         runner(f)
         lat.append(time.perf_counter() - t1)
-    e2e_fps = len(frames) / (time.perf_counter() - t0)
+    e2e_fps = len(meas) / (time.perf_counter() - t0)
     p50 = sorted(lat)[len(lat) // 2] * 1e3
     print(json.dumps({
         "metric": f"fused_detection_{h}x{w}_fps_per_chip",
@@ -380,7 +390,7 @@ def main():
         return
 
     est = build(args.model_type, args.dtype)
-    frames = make_frames(args.frames, args.height, args.width)
+    frames = make_frames(max(args.frames, 9) + 16, args.height, args.width)
     ms = onchip_ms_per_frame(est, frames[0])
     fps = 1e3 / ms
     # shipped streaming transfer path: device-postprocessed u8 frames
@@ -389,7 +399,7 @@ def main():
     e2e_f32_fps, p50_f32_ms = e2e_numbers(est, frames, output="f32")
     # micro-batched transcoding path (VidStream microbatch=4): amortizes the
     # per-dispatch/per-fetch RPC 4 ways at +4 frames latency
-    mb_frames = make_frames(32, args.height, args.width)
+    mb_frames = make_frames(36, args.height, args.width)
     e2e_mb4_fps, _mb4_p50 = e2e_microbatch_numbers(est, mb_frames, 4)
 
     cpu_fps = None if args.skip_cpu else cpu_baseline(args.model_type, args.height, args.width)

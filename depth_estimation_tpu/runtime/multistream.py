@@ -25,6 +25,7 @@ TPU-first design points:
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -96,10 +97,12 @@ class MultiStream:
             fn = est._batched_fn((self.h, self.w))
         K = len(self.videos)
         M = self.microbatch
-        batch = np.zeros((K * M, self.h, self.w, 3), np.uint8)
-        pending = None  # (device_preds, per-stream valid counts) one tick in flight
+        pending = None  # (device_preds, valid counts, t0, cpu_d) one tick in flight
         tick = 0
         while any(self.alive):
+            # fresh buffer per tick: the in-flight tick's async H2D transfer
+            # may still be reading the previous tick's host memory
+            batch = np.zeros((K * M, self.h, self.w, 3), np.uint8)
             valid = []  # frames read per stream this tick (0..M)
             for i, v in enumerate(self.videos):
                 m = 0
@@ -112,18 +115,20 @@ class MultiStream:
                         batch[i * M + m] = frame
                         m += 1
                     self.counts[i] += m
-                # dead/short slots keep their last content — constant batch
-                # shape (one executable); the padded results are never written
+                # dead/short slots stay zero/padded — constant batch shape
+                # (one executable); the padded results are never written
                 if 0 < m < M:
                     batch[i * M + m:(i + 1) * M] = batch[i * M + m - 1]
                 valid.append(m)
             if not any(valid):
                 break
-            with self.timer.stage("depth"):
-                preds = fn(est.params, batch)
+            c0 = time.process_time()
+            t0 = time.perf_counter()
+            preds = fn(est.params, batch)
+            cpu_d = time.process_time() - c0
             if pending is not None:
                 self._demux(*pending)
-            pending = (preds, valid)
+            pending = (preds, valid, t0, cpu_d)
             tick += 1
             if self.verbose:
                 live = sum(1 for m in valid if m)
@@ -143,8 +148,15 @@ class MultiStream:
                     f"(batched ticks; x{K * M} frames/tick)"
                 )
 
-    def _demux(self, device_preds, valid) -> None:
+    def _demux(self, device_preds, valid, t0, cpu_d) -> None:
+        c0 = time.process_time()
         preds = np.asarray(device_preds)  # ONE value fetch for all K·M frames
+        # per-TICK completion span, dispatch→value-ready, clamped against
+        # the previous tick's completion (runtime/timing.py) — the end-of-
+        # run 'Depth:' print states real tick throughput, not dispatch rate
+        self.timer.record_completion(
+            "depth", t0, cpu_d + time.process_time() - c0
+        )
         if preds.dtype != np.uint8:  # f32 fallback path: cast on host
             preds = preds.astype(np.uint8)
         M = self.microbatch

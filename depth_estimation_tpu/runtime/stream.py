@@ -26,9 +26,10 @@ TPU-first changes (SURVEY.md §3.5, VERDICT r2 #1):
   points, which lag one extra frame per depth step (docs/PARITY.md).
 
 Stage timing is truthful under async dispatch: the ``depth`` stage records
-the dispatch→value-ready WALL span via StageTimer.record_span, so the
-reference-format FPS report states frame completion throughput
-(runtime/timing.py docstring).
+dispatch→value-ready WALL spans via StageTimer.record_completion, clamped
+against the previous completion so overlapping in-flight spans measure the
+inter-completion interval — the reference-format FPS report states real
+frame completion throughput at any pipeline_depth (runtime/timing.py).
 """
 
 from __future__ import annotations
@@ -185,10 +186,10 @@ class VidStream:
         arr, m, t0, cpu_d = inflight.popleft()
         c0 = time.process_time()
         preds = np.asarray(arr)  # the value fetch — one round trip for K frames
-        wall = time.perf_counter() - t0
-        cpu = cpu_d + time.process_time() - c0
+        self.timer.record_completion(
+            "depth", t0, cpu_d + time.process_time() - c0, frames=m
+        )
         for i in range(m):
-            self.timer.record_span("depth", wall / m, cpu / m)
             self._write_gray(preds[i])
 
     def _predict_u8(self, frame):
@@ -206,8 +207,8 @@ class VidStream:
         arr, t0, cpu_d = inflight.popleft()
         c0 = time.process_time()
         gray = np.asarray(arr)  # the value fetch — the only real sync point
-        self.timer.record_span(
-            "depth", time.perf_counter() - t0, cpu_d + time.process_time() - c0
+        self.timer.record_completion(
+            "depth", t0, cpu_d + time.process_time() - c0
         )
         self._write_gray(gray)
 
@@ -291,7 +292,7 @@ class FusedVidStream:
             self.cnt += 1
         if self.microbatch > 1:
             return self._stream_microbatched()
-        inflight = deque()  # (frame, out handles, had_pts, t_dispatch, cpu_dispatch)
+        inflight = deque()  # (frame, n, out handles, had_pts, t_dispatch, cpu_dispatch)
         while True:
             if not self.video.is_opened():
                 while inflight:
@@ -329,7 +330,7 @@ class FusedVidStream:
                 t0 = time.perf_counter()
                 out = self._fused_runner(self.frame, fallback_pts=pts_arr)
                 cpu_d = time.process_time() - c0
-                inflight.append((self.frame, out, had_pts, t0, cpu_d))
+                inflight.append((self.frame, self.cnt, out, had_pts, t0, cpu_d))
                 if len(inflight) >= self.pipeline_depth:
                     self._process_fused(inflight.popleft())
                 continue
@@ -374,7 +375,7 @@ class FusedVidStream:
         """K frames per vmapped fused dispatch, one device_get per tick;
         the per-frame host half runs at demux in frame order."""
         K = self.microbatch
-        inflight = deque()  # (frames list, out handles, had_pts, t0, cpu_d)
+        inflight = deque()  # (frames list, first_n, out handles, had_pts, t0, cpu_d)
         eof = open_error = False
         while not eof:
             if not self.video.is_opened():
@@ -407,7 +408,10 @@ class FusedVidStream:
                 c0 = time.process_time()
                 t0 = time.perf_counter()
                 out = self._fused_runner.batched(batch, fallback_pts=pts_arr)
-                inflight.append((frames, out, had_pts, t0, time.process_time() - c0))
+                first_n = self.cnt - len(frames) + 1
+                inflight.append(
+                    (frames, first_n, out, had_pts, t0,
+                     time.process_time() - c0))
                 if len(inflight) >= self.pipeline_depth:
                     self._process_fused_batch(inflight.popleft())
         while inflight:
@@ -434,15 +438,15 @@ class FusedVidStream:
         records K amortized completion spans."""
         import jax
 
-        frames, out, had_pts, t0, cpu_d = entry
+        frames, first_n, out, had_pts, t0, cpu_d = entry
         c0 = time.process_time()
         out = jax.device_get(out)  # ONE round trip for the whole tick
-        wall = time.perf_counter() - t0
-        cpu = cpu_d + time.process_time() - c0
-        m = len(frames)
+        self.timer.record_completion(
+            "depth", t0, cpu_d + time.process_time() - c0, frames=len(frames)
+        )
         for j, frame in enumerate(frames):
-            self.timer.record_span("depth", wall / m, cpu / m)
-            self._host_frame(frame, {k: v[j] for k, v in out.items()}, had_pts)
+            self._host_frame(frame, {k: v[j] for k, v in out.items()},
+                             had_pts, first_n + j)
 
     # -- fused-mode frame completion ----------------------------------------
 
@@ -452,17 +456,19 @@ class FusedVidStream:
         output routing. Called in dispatch order."""
         import jax
 
-        frame, out, had_pts, t0, cpu_d = entry
+        frame, n, out, had_pts, t0, cpu_d = entry
         c0 = time.process_time()
         out = jax.device_get(out)  # ONE round trip for every output
-        self.timer.record_span(
-            "depth", time.perf_counter() - t0, cpu_d + time.process_time() - c0
+        self.timer.record_completion(
+            "depth", t0, cpu_d + time.process_time() - c0
         )
-        self._host_frame(frame, out, had_pts)
+        self._host_frame(frame, out, had_pts, n)
 
-    def _host_frame(self, frame, out, had_pts):
+    def _host_frame(self, frame, out, had_pts, n):
         """Host half for ONE frame's fetched outputs: face-state fill,
-        depth-sample recording, HUD and output routing."""
+        depth-sample recording, HUD and output routing. ``n`` is the
+        1-based number of THIS frame (self.cnt has already advanced past
+        it while it was in flight)."""
         self.frame = frame
         self.face.mesh = None  # per-frame detection reset (:51)
         found = bool(out["valid"][0])
@@ -494,15 +500,15 @@ class FusedVidStream:
             if self.face.mesh is not None or self.face.head_pts is not None:
                 self.face.get_depth(out["depth"])
                 self.face.rel2abs()
-        self._log_frame()
+        self._log_frame(n)
         # output frame: postprocessed on device (vis_u8), host just merges
         self._route_frame(merge_gray3(out["vis_u8"]))
 
-    def _log_frame(self):
+    def _log_frame(self, n=None):
         if self.log.enabled:
             self.log.log(
                 "frame",
-                n=self.cnt,
+                n=self.cnt if n is None else n,
                 ri_depth=float(self.face.ri_depth),
                 abs_depth=float(self.face.abs_depth),
                 face_found=self.face.mesh is not None,

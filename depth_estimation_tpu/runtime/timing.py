@@ -32,6 +32,8 @@ class StageTimer:
         self.wall: Dict[str, List[float]] = {s: [] for s in stages}
         # host-CPU share of async stages recorded via record_span
         self.cpu: Dict[str, List[float]] = {}
+        # last record_completion timestamp per stage (overlap clamping)
+        self._last_completion: Dict[str, float] = {}
 
     def _ensure(self, name: str) -> None:
         if name not in self.performance:
@@ -59,6 +61,28 @@ class StageTimer:
         self.wall[name].append(wall_s)
         if cpu_s is not None:
             self.cpu.setdefault(name, []).append(cpu_s)
+
+    def record_completion(self, name: str, t_dispatch: float,
+                          cpu_s: float = None, frames: int = 1) -> None:
+        """Record an ASYNC stage completion happening NOW for ``frames``
+        frames that were dispatched at ``t_dispatch``.
+
+        With ``pipeline_depth`` > 1 several dispatch→value-ready spans
+        overlap on the same device time; recording each raw span would
+        multiply-count it and the ``1 // median`` report would understate
+        throughput ~depth-fold. The span therefore starts at the LATER of
+        the dispatch and the previous completion — in steady state that is
+        the inter-completion interval (true completion throughput), while
+        an idle pipeline still measures plain dispatch→value-ready
+        latency. Micro-batched ticks amortize: ``frames`` spans of
+        span/frames each."""
+        now = time.perf_counter()
+        start = max(t_dispatch, self._last_completion.get(name, 0.0))
+        self._last_completion[name] = now
+        per = (now - start) / frames
+        cpu_per = None if cpu_s is None else cpu_s / frames
+        for _ in range(frames):
+            self.record_span(name, per, cpu_per)
 
     def fps(self, name: str) -> float:
         """``1 // median(stage_times)`` — the reference's formula

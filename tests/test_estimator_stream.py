@@ -399,3 +399,83 @@ def test_json_logging(estimator, tmp_path, monkeypatch):
     lines = [json.loads(l) for l in log.read_text().splitlines()]
     assert lines[-1]["event"] == "stream_end"
     assert lines[-1]["frames"] == 3
+
+
+class _ReadyAtArray:
+    """Device-handle stand-in whose value becomes ready at an absolute
+    time; fetching earlier blocks until then (async-dispatch model)."""
+
+    def __init__(self, value, ready_at):
+        self._value = value
+        self._ready_at = ready_at
+
+    def __array__(self, dtype=None, copy=None):
+        import time as _t
+
+        d = self._ready_at - _t.perf_counter()
+        if d > 0:
+            _t.sleep(d)
+        v = self._value
+        return v.astype(dtype) if dtype is not None else v
+
+
+class _QueuedDeviceStub:
+    """Serialized-device model: each dispatched program takes device_s on
+    the (single) device queue; values are ready when their program ends."""
+
+    def __init__(self, device_s=0.05):
+        self.device_s = device_s
+        self._free_at = 0.0
+
+    def predict_device(self, frame):
+        import time as _t
+
+        self._free_at = max(_t.perf_counter(), self._free_at) + self.device_s
+        return _ReadyAtArray(
+            np.zeros(frame.shape[:2], np.float32), self._free_at
+        )
+
+
+def test_depth_stage_fps_truthful_under_pipelining():
+    """Overlapping in-flight spans must not multiply-count device time:
+    with pipeline_depth=2 on a serialized device taking T per frame, the
+    raw dispatch→fetch span of every steady-state frame is ~2T, but frames
+    COMPLETE every T — record_completion's clamp must report ~T so the
+    reference-format `1 // median` FPS states real throughput."""
+    from statistics import median as _median
+
+    T = 0.05
+    sink = NullSink()
+    vs = VidStream(_QueuedDeviceStub(device_s=T), SyntheticSource(6, 32, 48),
+                   sink, verbose=False, pipeline_depth=2)
+    vs.update()
+    spans = vs.timer.performance["depth"]
+    assert sink.frames_written == 6 and len(spans) == 6
+    assert _median(spans) < 1.5 * T, f"overlap double-counted: {spans}"
+    assert _median(spans) >= 0.5 * T, f"span misses device time: {spans}"
+
+
+def test_fused_log_frame_numbers_match_under_pipelining(tmp_path, monkeypatch):
+    """Per-frame JSON records must carry the number of the frame whose
+    outputs were fetched, not the already-advanced read counter (the
+    pipelined loop keeps pipeline_depth frames in flight)."""
+    import json
+
+    from depth_estimation_tpu.runtime.stream import FusedVidStream
+
+    log = tmp_path / "frames.jsonl"
+    monkeypatch.setenv("DEPTH_TPU_LOG_JSON", str(log))
+    from tests.test_fused_iris import _make_detector
+
+    det, face = _make_detector()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        est = DepthEstimator("Tiny_test", verbose=False)
+    vs = FusedVidStream(est, det, face, SyntheticSource(5, 120, 160),
+                        NullSink(), verbose=False, pipeline_depth=2)
+    vs.stream()
+    ns = [json.loads(l)["n"] for l in log.read_text().splitlines()
+          if json.loads(l)["event"] == "frame"]
+    assert ns == [1, 2, 3, 4, 5], ns
