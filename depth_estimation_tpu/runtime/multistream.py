@@ -42,12 +42,17 @@ from depth_estimation_tpu.runtime.video import (
 
 
 class MultiStream:
-    """Run K depth-only streams through one batched frame program.
+    """Run K depth-only streams through batched frame programs.
 
     ``sources``: list of source specs (paths / 'synthetic:NxHxW' /
-    FrameSource instances); all must share one resolution (one executable).
-    ``outputs``: matching list of sink specs (None → NullSink each).
-    """
+    FrameSource instances); ``outputs``: matching list of sink specs
+    (None → NullSink each).
+
+    Mixed resolutions are served by BUCKETING: XLA executables have static
+    shapes, so streams are grouped by (H, W) and each bucket batches into
+    its own compiled program — one dispatch per bucket per tick (the
+    minimum possible), with every bucket's tick outputs fetched in ONE
+    ``jax.device_get``. A uniform-resolution fleet is simply one bucket."""
 
     def __init__(self, estimator, sources: Sequence, outputs: Optional[Sequence] = None,
                  prefetch: bool = True, verbose: bool = True, retries: int = 2,
@@ -70,14 +75,17 @@ class MultiStream:
             if prefetch and needs_prefetch(v.inner):
                 v = PrefetchSource(v)
             self.videos.append(v)
-        hw = {(int(v.height), int(v.width)) for v in self.videos}
-        if len(hw) != 1:
-            raise ValueError(
-                f"all sources must share one resolution for the batched "
-                f"program, got {sorted(hw)}"
-            )
-        (self.h, self.w), = hw
-        self.writers = [open_sink(o, (self.w, self.h), fps=20) for o in outputs]
+        self.res = [(int(v.height), int(v.width)) for v in self.videos]
+        # bucket stream indices by resolution (insertion-ordered)
+        self.buckets: dict = {}
+        for i, hw in enumerate(self.res):
+            self.buckets.setdefault(hw, []).append(i)
+        # single-bucket convenience attrs (back-compat for uniform fleets)
+        (self.h, self.w) = self.res[0]
+        self.writers = [
+            open_sink(o, (w, h), fps=20)
+            for o, (h, w) in zip(outputs, self.res)
+        ]
         self.alive = [True] * len(self.videos)
         self.counts = [0] * len(self.videos)
         self.microbatch = max(1, int(microbatch))
@@ -85,53 +93,63 @@ class MultiStream:
         self.timer = StageTimer()
 
     def run(self) -> None:
-        """Tick until every stream hits EOF; one device dispatch per tick."""
+        """Tick until every stream hits EOF; one device dispatch per
+        resolution bucket per tick."""
         est = self.estimator
+
         # the faithful wraparound u8 cast happens ON DEVICE (estimator
-        # output='u8'): the per-tick fetch is K u8 frames, 4× fewer D2H
+        # output='u8'): the per-tick fetch is u8 frames, 4× fewer D2H
         # bytes than the f32 maps; stand-ins without the batched-u8 path
         # fall back to f32 + host cast in _demux
-        try:
-            fn = est._batched_fn((self.h, self.w), output="u8")
-        except TypeError:  # estimator stand-in with the old signature
-            fn = est._batched_fn((self.h, self.w))
+        def batched_fn(hw):
+            try:
+                return est._batched_fn(hw, output="u8")
+            except TypeError:  # estimator stand-in with the old signature
+                return est._batched_fn(hw)
+
+        fns = {hw: batched_fn(hw) for hw in self.buckets}
         K = len(self.videos)
         M = self.microbatch
-        pending = None  # (device_preds, valid counts, t0, cpu_d) one tick in flight
+        pending = None  # one tick in flight: list of per-bucket entries
         tick = 0
         while any(self.alive):
-            # fresh buffer per tick: the in-flight tick's async H2D transfer
-            # may still be reading the previous tick's host memory
-            batch = np.zeros((K * M, self.h, self.w, 3), np.uint8)
-            valid = []  # frames read per stream this tick (0..M)
-            for i, v in enumerate(self.videos):
-                m = 0
-                if self.alive[i]:
-                    while m < M:
-                        ok, frame = v.read()
-                        if not ok:
-                            self.alive[i] = False
-                            break
-                        batch[i * M + m] = frame
-                        m += 1
-                    self.counts[i] += m
-                # dead/short slots stay zero/padded — constant batch shape
-                # (one executable); the padded results are never written
-                if 0 < m < M:
-                    batch[i * M + m:(i + 1) * M] = batch[i * M + m - 1]
-                valid.append(m)
-            if not any(valid):
-                break
+            entries = []  # (stream idxs, device_preds, valid counts)
             c0 = time.process_time()
             t0 = time.perf_counter()
-            preds = fn(est.params, batch)
+            for hw, idxs in self.buckets.items():
+                # fresh buffer per tick: the in-flight tick's async H2D
+                # transfer may still be reading the previous tick's memory
+                batch = np.zeros((len(idxs) * M, *hw, 3), np.uint8)
+                valid = []  # frames read per bucket slot this tick (0..M)
+                for slot, i in enumerate(idxs):
+                    v = self.videos[i]
+                    m = 0
+                    if self.alive[i]:
+                        while m < M:
+                            ok, frame = v.read()
+                            if not ok:
+                                self.alive[i] = False
+                                break
+                            batch[slot * M + m] = frame
+                            m += 1
+                        self.counts[i] += m
+                    # dead/short slots stay zero/padded — constant batch
+                    # shape (one executable per bucket); padded results are
+                    # never written
+                    if 0 < m < M:
+                        batch[slot * M + m:(slot + 1) * M] = batch[slot * M + m - 1]
+                    valid.append(m)
+                if any(valid):
+                    entries.append((idxs, fns[hw](est.params, batch), valid))
             cpu_d = time.process_time() - c0
+            if not entries:
+                break
             if pending is not None:
                 self._demux(*pending)
-            pending = (preds, valid, t0, cpu_d)
+            pending = (entries, t0, cpu_d)
             tick += 1
             if self.verbose:
-                live = sum(1 for m in valid if m)
+                live = sum(1 for a in self.alive if a)
                 print(f"Tick: {tick} ({live}/{K} live)")
         if pending is not None:
             self._demux(*pending)
@@ -143,23 +161,31 @@ class MultiStream:
             total = sum(self.counts)
             print(f"Sucessfully read {total} frames over {K} streams.")
             if self.timer.performance.get("depth"):
-                print(
-                    f"Depth: {self.timer.fps('depth')} "
-                    f"(batched ticks; x{K * M} frames/tick)"
-                )
+                per_tick = (f"x{K * M} frames/tick" if len(self.buckets) == 1
+                            else f"{len(self.buckets)} resolution buckets, "
+                                 f"up to x{K * M} frames/tick")
+                print(f"Depth: {self.timer.fps('depth')} "
+                      f"(batched ticks; {per_tick})")
 
-    def _demux(self, device_preds, valid, t0, cpu_d) -> None:
+    def _demux(self, entries, t0, cpu_d) -> None:
+        import jax
+
         c0 = time.process_time()
-        preds = np.asarray(device_preds)  # ONE value fetch for all K·M frames
+        # ONE value fetch for ALL buckets' frames this tick
+        fetched = jax.device_get([preds for _, preds, _ in entries])
         # per-TICK completion span, dispatch→value-ready, clamped against
         # the previous tick's completion (runtime/timing.py) — the end-of-
         # run 'Depth:' print states real tick throughput, not dispatch rate
         self.timer.record_completion(
             "depth", t0, cpu_d + time.process_time() - c0
         )
-        if preds.dtype != np.uint8:  # f32 fallback path: cast on host
-            preds = preds.astype(np.uint8)
         M = self.microbatch
-        for i, m in enumerate(valid):
-            for j in range(m):
-                self.writers[i].write(merge_gray3(preds[i * M + j]))
+        for (idxs, _, valid), preds in zip(entries, fetched):
+            preds = np.asarray(preds)
+            if preds.dtype != np.uint8:  # f32 fallback path: cast on host
+                preds = preds.astype(np.uint8)
+            for slot, m in enumerate(valid):
+                for j in range(m):
+                    self.writers[idxs[slot]].write(
+                        merge_gray3(preds[slot * M + j])
+                    )

@@ -132,9 +132,9 @@ def test_multistream_microbatch_matches_driver(est, M):
     _assert_streams_match(sinks, expected, lengths)
 
 
-def test_multistream_rejects_mixed_resolutions(est):
-    with pytest.raises(ValueError):
-        MultiStream(est, [SyntheticSource(2, 64, 96), SyntheticSource(2, 32, 48)])
+def test_multistream_rejects_bad_configs(est):
+    # mixed resolutions are SUPPORTED via bucketing (see
+    # test_multistream_mixed_resolutions); only structural errors reject
     with pytest.raises(ValueError):
         MultiStream(est, [])
     with pytest.raises(ValueError):
@@ -167,4 +167,27 @@ def test_multistream_file_sources(est, tmp_path):
 
     # expected: decode the same files again through the same source stack
     expected = drive_batched(est, [open_source(p) for p in paths], (64, 96))
+    _assert_streams_match(sinks, expected, lengths)
+
+
+@pytest.mark.parametrize("M", [1, 2])
+def test_multistream_mixed_resolutions(est, M):
+    """Streams at different resolutions are served via per-(H,W) bucketing
+    — each bucket batches into its own compiled program, per-stream outputs
+    must equal a uniform-resolution run of just that bucket's streams."""
+    lengths = [3, 2, 4]
+    mk = lambda: [SyntheticSource(lengths[0], 64, 96, seed=0),
+                  SyntheticSource(lengths[1], 48, 64, seed=1),
+                  SyntheticSource(lengths[2], 64, 96, seed=2)]
+    sinks = [CollectSink() for _ in lengths]
+    ms = MultiStream(est, mk(), sinks, verbose=False, microbatch=M)
+    ms.run()
+    assert ms.counts == lengths
+    assert len(ms.buckets) == 2
+
+    # expected: drive each resolution bucket exactly as a uniform fleet
+    srcs = mk()
+    exp_a = drive_microbatched(est, [srcs[0], srcs[2]], (64, 96), M)
+    exp_b = drive_microbatched(est, [srcs[1]], (48, 64), M)
+    expected = [exp_a[0], exp_b[0], exp_a[1]]
     _assert_streams_match(sinks, expected, lengths)

@@ -2,7 +2,7 @@
 """Serve K video feeds through one batched device dispatch per tick.
 
 Thin repo-root launcher for depth_estimation_tpu.tools.serve (the packaged
-`depth-serve` console script). All sources must share one resolution.
+`depth-serve` console script). Mixed resolutions are bucketed per (H, W).
 
 Usage:
   python tools/serve_multistream.py --src a.mp4 --src b.mp4 [--output a.avi --output b.avi]
