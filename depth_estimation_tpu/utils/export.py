@@ -58,6 +58,40 @@ def export_frame_program(
     return bytes(exported.serialize())  # serialize() returns a bytearray
 
 
+def export_fused_program(
+    estimator,
+    detector,
+    in_hw: Tuple[int, int],
+    include_pose: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the config-4 FUSED frame program (runtime/fused.py::
+    make_fused_iris_frame_fn): depth + BlazeFace + FaceMesh/iris
+    (+ BlazePose miss branch) + device postprocess + depth sampling as ONE
+    deployment artifact. The loaded callable takes (depth_params,
+    face_params, mesh_params[, pose_params], img_u8 (H,W,3),
+    fallback_pts (2,2) i32) and returns the fused output dict."""
+    import numpy as np
+
+    from depth_estimation_tpu.runtime.fused import make_fused_iris_frame_fn
+
+    fn = make_fused_iris_frame_fn(
+        estimator, detector, in_hw, include_pose=include_pose,
+        emit_depth_map=False,
+    )
+    spec = lambda tree: jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+    args = [spec(estimator.params), spec(detector._face_det_params),
+            spec(detector._mesh_params)]
+    if include_pose:
+        args.append(spec(detector._pose_params))
+    args.append(jax.ShapeDtypeStruct((*in_hw, 3), np.uint8))
+    args.append(jax.ShapeDtypeStruct((2, 2), np.int32))
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jax.export.export(fn, **kw)(*args)
+    return bytes(exported.serialize())
+
+
 def load_frame_program(blob_or_path):
     """bytes or path of a serialized program → callable(params, img_u8)."""
     if isinstance(blob_or_path, (str, pathlib.Path)):

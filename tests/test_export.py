@@ -44,3 +44,35 @@ def test_export_roundtrip_batched(est, rng):
     blob = export_frame_program(est, (64, 96), batched=True, batch=2)
     fn = load_frame_program(blob)
     np.testing.assert_array_equal(np.asarray(fn(est.params, imgs)), ref)
+
+
+def test_export_roundtrip_fused(est, rng):
+    """The config-4 FUSED program (depth + detection + mesh/iris + pose
+    fallback + postprocess + sampling) exports and reloads; outputs match
+    the live program exactly."""
+    import jax
+
+    from depth_estimation_tpu.runtime.fused import make_fused_iris_frame_fn
+    from depth_estimation_tpu.utils.export import (
+        export_fused_program,
+        load_frame_program,
+    )
+    from tests.test_fused_iris import _make_detector
+
+    det, _face = _make_detector()
+    hw = (120, 160)
+    img = rng.integers(0, 256, (*hw, 3), np.uint8)
+    pts = np.asarray([[40, 50], [60, 50]], np.int32)
+    live_fn = make_fused_iris_frame_fn(est, det, hw, include_pose=True,
+                                       emit_depth_map=False)
+    args = (est.params, det._face_det_params, det._mesh_params,
+            det._pose_params, img, pts)
+    ref = jax.device_get(live_fn(*args))
+
+    blob = export_fused_program(est, det, hw, include_pose=True)
+    fn = load_frame_program(blob)
+    out = jax.device_get(fn(*args))
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]),
+                                      err_msg=k)
