@@ -113,12 +113,11 @@ class MultiStream:
         pending = None  # one tick in flight: list of per-bucket entries
         tick = 0
         while any(self.alive):
-            entries = []  # (stream idxs, device_preds, valid counts)
-            c0 = time.process_time()
-            t0 = time.perf_counter()
+            # phase 1 — HOST decode into fresh per-tick buffers (fresh: the
+            # in-flight tick's async H2D transfer may still be reading the
+            # previous tick's memory)
+            staged = []  # (hw, stream idxs, host batch, valid counts)
             for hw, idxs in self.buckets.items():
-                # fresh buffer per tick: the in-flight tick's async H2D
-                # transfer may still be reading the previous tick's memory
                 batch = np.zeros((len(idxs) * M, *hw, 3), np.uint8)
                 valid = []  # frames read per bucket slot this tick (0..M)
                 for slot, i in enumerate(idxs):
@@ -140,10 +139,16 @@ class MultiStream:
                         batch[slot * M + m:(slot + 1) * M] = batch[slot * M + m - 1]
                     valid.append(m)
                 if any(valid):
-                    entries.append((idxs, fns[hw](est.params, batch), valid))
-            cpu_d = time.process_time() - c0
-            if not entries:
+                    staged.append((hw, idxs, batch, valid))
+            if not staged:
                 break
+            # phase 2 — dispatch every bucket; t0 marks DISPATCH so the
+            # depth completion span excludes host decode time
+            c0 = time.process_time()
+            t0 = time.perf_counter()
+            entries = [(idxs, fns[hw](est.params, batch), valid)
+                       for hw, idxs, batch, valid in staged]
+            cpu_d = time.process_time() - c0
             if pending is not None:
                 self._demux(*pending)
             pending = (entries, t0, cpu_d)

@@ -68,21 +68,34 @@ class StageTimer:
         frames that were dispatched at ``t_dispatch``.
 
         With ``pipeline_depth`` > 1 several dispatch→value-ready spans
-        overlap on the same device time; recording each raw span would
-        multiply-count it and the ``1 // median`` report would understate
-        throughput ~depth-fold. The span therefore starts at the LATER of
-        the dispatch and the previous completion — in steady state that is
-        the inter-completion interval (true completion throughput), while
-        an idle pipeline still measures plain dispatch→value-ready
-        latency. Micro-batched ticks amortize: ``frames`` spans of
-        span/frames each."""
+        overlap on the same device time; recording each raw span into the
+        ``1 // median`` report would multiply-count it and understate
+        throughput ~depth-fold. So the two dicts get different spans:
+
+        * ``performance`` (the FPS report) gets the span clamped to start
+          at the LATER of the dispatch and the previous completion — in
+          steady state the inter-completion interval, i.e. true completion
+          throughput; an idle pipeline degenerates to the raw span;
+        * ``wall`` (p50/p90 latency percentiles in ``summary()``) keeps
+          the TRUE unclamped dispatch→value-ready span — the latency a
+          frame actually experienced, which legitimately grows with
+          pipeline depth.
+
+        Micro-batched ticks (``frames`` > 1) amortize the THROUGHPUT spans
+        (``frames`` entries of clamped-span/frames), but each frame's
+        latency entry is the FULL tick span — every frame of the tick
+        genuinely waited from dispatch to the shared fetch."""
         now = time.perf_counter()
+        self._ensure(name)
         start = max(t_dispatch, self._last_completion.get(name, 0.0))
         self._last_completion[name] = now
-        per = (now - start) / frames
-        cpu_per = None if cpu_s is None else cpu_s / frames
+        per_clamped = (now - start) / frames
+        true_span = now - t_dispatch
         for _ in range(frames):
-            self.record_span(name, per, cpu_per)
+            self.performance[name].append(per_clamped)
+            self.wall[name].append(true_span)
+            if cpu_s is not None:
+                self.cpu.setdefault(name, []).append(cpu_s / frames)
 
     def fps(self, name: str) -> float:
         """``1 // median(stage_times)`` — the reference's formula
@@ -117,6 +130,12 @@ class StageTimer:
                 "p50_ms": self.percentile(name, 0.5) * 1e3,
                 "p90_ms": self.percentile(name, 0.9) * 1e3,
             }
+            if name in self._last_completion:
+                # async pipelined stage: wall entries are true per-frame
+                # LATENCY (grows with pipeline depth); completion
+                # throughput comes from the clamped spans
+                m = median(self.performance[name])
+                out[name]["fps_completion"] = (1.0 / m) if m else float("inf")
             if self.cpu.get(name):
                 out[name]["host_cpu_p50_ms"] = median(self.cpu[name]) * 1e3
         return out

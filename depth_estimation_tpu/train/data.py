@@ -34,8 +34,8 @@ Pair = Tuple[np.ndarray, np.ndarray]
 
 def iter_npz_dir(path) -> Iterator[Pair]:
     """Yield (image u8 (H,W,3), disparity f32 (H,W)) from every .npz under
-    ``path`` in sorted order (deterministic)."""
-    files = sorted(pathlib.Path(path).glob("*.npz"))
+    ``path`` — recursively, in sorted order (deterministic)."""
+    files = sorted(pathlib.Path(path).rglob("*.npz"))
     if not files:
         raise FileNotFoundError(f"no .npz samples under {path}")
     for f in files:
@@ -60,6 +60,18 @@ def synthetic_pairs(n: int, h: int, w: int, seed: int = 0) -> Iterator[Pair]:
         yield img, disp
 
 
+class _Reiterable:
+    """Dataset wrapper that restarts from scratch on every ``iter()`` —
+    what train/loop.py's epoch-restart (``iter(data)`` after exhaustion)
+    needs; a bare generator would come back empty."""
+
+    def __init__(self, factory):
+        self._factory = factory
+
+    def __iter__(self):
+        return self._factory()
+
+
 def batches(
     pairs: Iterable[Pair],
     batch_size: int,
@@ -67,36 +79,46 @@ def batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_remainder: bool = True,
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+):
     """Stack pairs into ((B,H,W,3) u8, (B,H,W) f32) batches.
 
     Materializes the sample list once (depth datasets here are file sets,
-    not unbounded streams), then yields ``epochs`` deterministic passes,
-    reshuffled per epoch from ``seed``."""
+    not unbounded streams) and returns a RE-ITERABLE: each ``iter()``
+    yields ``epochs`` deterministic passes, reshuffled per epoch from
+    ``seed`` — so train/loop.py's fit() can restart the dataset when it
+    runs more steps than one pass provides."""
     data = list(pairs)
     if not data:
         raise ValueError("empty dataset")
     if drop_remainder and len(data) < batch_size:
         raise ValueError(f"{len(data)} samples < batch_size {batch_size}")
-    for epoch in range(epochs):
-        order = np.arange(len(data))
-        if shuffle:
-            np.random.default_rng(seed + epoch).shuffle(order)
-        stop = (len(data) // batch_size) * batch_size if drop_remainder else len(data)
-        for i in range(0, stop, batch_size):
-            sel = order[i:i + batch_size]
-            yield (np.stack([data[j][0] for j in sel]),
-                   np.stack([data[j][1] for j in sel]))
+
+    def gen():
+        for epoch in range(epochs):
+            order = np.arange(len(data))
+            if shuffle:
+                np.random.default_rng(seed + epoch).shuffle(order)
+            stop = (len(data) // batch_size) * batch_size if drop_remainder else len(data)
+            for i in range(0, stop, batch_size):
+                sel = order[i:i + batch_size]
+                yield (np.stack([data[j][0] for j in sel]),
+                       np.stack([data[j][1] for j in sel]))
+
+    return _Reiterable(gen)
 
 
-def device_prefetch(it: Iterable, size: int = 2, mesh=None) -> Iterator:
-    """Yield batches already placed on device, keeping ``size`` in flight.
+def device_prefetch(it: Iterable, size: int = 2, mesh=None):
+    """Batches already placed on device, ``size`` kept in flight.
 
     ``jax.device_put`` returns immediately (async transfer), so while the
     train step consumes batch t, batches t+1..t+size are already crossing
     H2D — host IO overlaps device compute. With ``mesh``, batches go out
     sharded over the ``dp`` axis (train/step.py::shard_batch placement), so
-    the jitted step consumes them with zero further data movement."""
+    the jitted step consumes them with zero further data movement.
+
+    Returns a RE-ITERABLE when ``it`` is one (e.g. :func:`batches`'s
+    result): each ``iter()`` restarts the underlying dataset, so fit()'s
+    epoch restart works through the prefetcher."""
     import jax
 
     if mesh is not None:
@@ -109,13 +131,17 @@ def device_prefetch(it: Iterable, size: int = 2, mesh=None) -> Iterator:
             lambda x: jax.device_put(x, sharding), b)
     else:
         put = jax.device_put
-    q: deque = deque()
-    for item in it:
-        q.append(put(item))
-        if len(q) > max(1, int(size)):
+
+    def gen():
+        q: deque = deque()
+        for item in it:
+            q.append(put(item))
+            if len(q) > max(1, int(size)):
+                yield q.popleft()
+        while q:
             yield q.popleft()
-    while q:
-        yield q.popleft()
+
+    return _Reiterable(gen)
 
 
 def make_training_apply(model, preprocess_cfg, net_hw: Optional[Sequence[int]] = None,
@@ -129,22 +155,20 @@ def make_training_apply(model, preprocess_cfg, net_hw: Optional[Sequence[int]] =
     ``net_hw`` pins the network grid; default = the transform of the
     dataset resolution at trace time. ``bgr=True`` mirrors the inference
     path's cv2 channel order."""
-    import jax.numpy as jnp
-
-    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
+    from depth_estimation_tpu.ops.preprocess import (
+        _preprocess_impl,
+        compute_resize_shape,
+    )
     from depth_estimation_tpu.ops.resize import resize2d
-
-    mean = jnp.asarray(preprocess_cfg.mean, jnp.float32)
-    std = jnp.asarray(preprocess_cfg.std, jnp.float32)
 
     def apply(params, imgs_u8):
         src_hw = imgs_u8.shape[1:3]
-        x = imgs_u8[..., ::-1] if bgr else imgs_u8
-        x = x.astype(jnp.float32) / 255.0
-        hw = net_hw or compute_resize_shape(
-            x.shape[1], x.shape[2], preprocess_cfg)
-        x = resize2d(x, tuple(hw), method="cubic", align_corners=False)
-        x = (x - mean) / std
+        hw = tuple(net_hw) if net_hw else compute_resize_shape(
+            src_hw[0], src_hw[1], preprocess_cfg)
+        # the ONE shared implementation of the MiDaS input transform
+        # (ops/preprocess.py — same code the inference `preprocess` uses)
+        x = _preprocess_impl(imgs_u8, hw, tuple(preprocess_cfg.mean),
+                             tuple(preprocess_cfg.std), bgr_to_rgb=bgr)
         pred = model.apply(params, x)  # (B, h', w') at the net grid
         # back to the dataset resolution so the loss aligns with full-res
         # gt (same bicubic the inference path uses, estimator.py)

@@ -63,7 +63,14 @@ def fit(
             images, gt = next(it)
         except StopIteration:
             it = iter(data)
-            images, gt = next(it)
+            try:
+                images, gt = next(it)
+            except StopIteration:
+                raise ValueError(
+                    "dataset yielded nothing on restart — pass a "
+                    "re-iterable (e.g. train/data.py::batches / "
+                    "device_prefetch), not a bare generator"
+                ) from None
         if mesh is not None:
             images, gt = shard_batch(images, mesh), shard_batch(gt, mesh)
         state, loss = step_fn(state, images, gt)

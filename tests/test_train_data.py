@@ -96,3 +96,45 @@ def test_fit_from_raw_u8_batches_on_mesh():
                              verbose=False, log_every=1)
     assert int(state.step) == 3
     assert history and all(np.isfinite(l) for _, l in history)
+
+
+def test_fit_restarts_exhausted_dataset():
+    """batches()/device_prefetch() are re-iterable: fit() must loop the
+    dataset when steps exceed one pass (loop.py's epoch-restart path)."""
+    import jax
+
+    from depth_estimation_tpu.config import PreprocessConfig
+    from depth_estimation_tpu.models.dpt import DPT, DPTConfig
+    from depth_estimation_tpu.train.loop import fit
+
+    cfg = DPTConfig(embed_dim=64, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+                    reassemble_channels=(16, 32, 64, 64), features=32,
+                    img_size=64, use_pallas=False, non_negative=False)
+    model = DPT(cfg)
+    pre = PreprocessConfig(target_height=64, target_width=64,
+                           keep_aspect_ratio=False, ensure_multiple_of=32)
+    apply = make_training_apply(model, pre, net_hw=(64, 64))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 np.zeros((1, 64, 64, 3), np.float32))
+    # one epoch = 2 batches; 5 steps needs 2 restarts
+    data = device_prefetch(batches(synthetic_pairs(4, 48, 64, seed=2), 2,
+                                   epochs=1))
+    state, history = fit(apply, params, data, steps=5, verbose=False,
+                         log_every=1)
+    assert int(state.step) == 5
+    assert all(np.isfinite(l) for _, l in history)
+
+    # a bare generator still fails, but loudly
+    def one_shot():
+        yield from iter(batches(synthetic_pairs(4, 48, 64, seed=2), 2))
+
+    with pytest.raises(ValueError, match="re-iterable"):
+        fit(apply, params, one_shot(), steps=5, verbose=False)
+
+
+def test_iter_npz_dir_recursive(tmp_path):
+    (tmp_path / "scene1").mkdir()
+    (tmp_path / "scene2").mkdir()
+    _write_npz_dir(tmp_path / "scene1", n=2)
+    _write_npz_dir(tmp_path / "scene2", n=3)
+    assert len(list(iter_npz_dir(tmp_path))) == 5
