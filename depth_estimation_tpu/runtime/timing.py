@@ -11,11 +11,13 @@ brackets captured real compute because torch-on-CPU is synchronous. Our
 pipelined loops dispatch a frame and fetch its value later, and
 ``process_time`` does not accrue while the host blocks on the RPC — so a
 bracket around the dispatch alone would overreport FPS arbitrarily.
-Asynchronous stages therefore record via :meth:`record_span` with the
-dispatch→value-ready WALL time; that is what lands in ``performance`` and
-what the reference-format ``1 // median`` report prints (frame COMPLETION
-throughput). The host-CPU share is kept separately in ``cpu``.
-Synchronous host stages keep the exact reference bracket (``stage``).
+Asynchronous stages therefore record via :meth:`record_completion`:
+``performance`` (what the reference-format ``1 // median`` report prints)
+gets the span clamped against the previous completion — true frame
+COMPLETION throughput even with several frames in flight — while ``wall``
+(the p50/p90 percentiles) keeps the frame's true dispatch→value-ready
+LATENCY. The host-CPU share is kept separately in ``cpu``. Synchronous
+host stages keep the exact reference bracket (``stage``).
 """
 
 from __future__ import annotations
