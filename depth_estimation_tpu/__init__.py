@@ -28,6 +28,7 @@ __all__ = [
     "FaceDetector",
     "VidStream",
     "MultiStream",
+    "DepthServer",
 ]
 
 
@@ -56,4 +57,8 @@ def __getattr__(name):  # lazy imports keep `import depth_estimation_tpu` cheap
         from depth_estimation_tpu.runtime.multistream import MultiStream
 
         return MultiStream
+    if name == "DepthServer":
+        from depth_estimation_tpu.runtime.server import DepthServer
+
+        return DepthServer
     raise AttributeError(f"module 'depth_estimation_tpu' has no attribute {name!r}")

@@ -1,0 +1,151 @@
+"""Online serving: dynamic batching of concurrent depth requests.
+
+MultiStream (runtime/multistream.py) serves a FIXED fleet of video feeds;
+this module serves the other production shape — independent clients
+submitting single frames at unpredictable times. The standard accelerator
+answer is DYNAMIC BATCHING, tuned for how TPUs actually execute:
+
+* requests queue on the host; a dispatcher thread drains up to
+  ``max_batch`` of them, PADS the batch to exactly ``max_batch`` by
+  repeating the last frame, and runs the estimator's batched u8 frame
+  program — one static shape, ONE compiled executable for the server's
+  lifetime (XLA recompiles on any shape change, so variable-size batches
+  would be poison);
+* a partial batch dispatches after ``max_delay_ms`` — the classic
+  latency/throughput knob (batch table in BASELINE.md: MiDaS-small
+  819 → 1146 imgs/s from batch 1 → 8);
+* results come back as futures; each request's depth frame is fetched
+  from the ONE per-batch device transfer (u8 bytes only — the same
+  transfer discipline as the streaming loops).
+
+No sockets here by design: transport is deployment-specific, and this
+queue + futures API is the part a gRPC/HTTP front end would wrap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class DepthServer:
+    """Dynamic-batching depth service over one estimator.
+
+    All frames must share one resolution (``hw``) — one static-shape
+    executable; run one server per resolution class (cf. MultiStream's
+    per-(H, W) bucketing).
+
+    Usage::
+
+        srv = DepthServer(est, (480, 640), max_batch=8, max_delay_ms=5)
+        fut = srv.submit(frame_u8)        # thread-safe, returns a Future
+        depth_u8 = fut.result()
+        srv.close()
+    """
+
+    def __init__(self, estimator, hw: Tuple[int, int], max_batch: int = 8,
+                 max_delay_ms: float = 5.0, output: str = "u8"):
+        self.estimator = estimator
+        self.hw = (int(hw[0]), int(hw[1]))
+        self.max_batch = max(1, int(max_batch))
+        self.max_delay_s = max(0.0, float(max_delay_ms)) / 1e3
+        try:
+            self._fn = estimator._batched_fn(self.hw, output=output)
+        except TypeError:  # estimator stand-in with the old signature
+            self._fn = estimator._batched_fn(self.hw)
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self.batches_dispatched = 0
+        self.frames_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, frame_u8: np.ndarray) -> Future:
+        """Enqueue one (H, W, 3) uint8 frame; resolves to its (H, W)
+        depth output (u8 by default — the device-postprocessed cast)."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        frame_u8 = np.asarray(frame_u8)
+        if frame_u8.shape != (*self.hw, 3) or frame_u8.dtype != np.uint8:
+            raise ValueError(
+                f"expected {(*self.hw, 3)} uint8, got "
+                f"{frame_u8.shape} {frame_u8.dtype}"
+            )
+        fut: Future = Future()
+        # copy: the client may reuse its buffer while the request waits
+        self._q.put((frame_u8.copy(), fut))
+        return fut
+
+    def close(self) -> None:
+        """Stop the dispatcher after serving everything already queued
+        (the shutdown sentinel enters the FIFO behind them)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)  # wake the dispatcher
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _collect(self) -> Optional[list]:
+        """Block for the first request, then drain up to max_batch-1 more,
+        waiting at most max_delay_s for stragglers."""
+        first = self._q.get()
+        if first is None:
+            return None
+        reqs = [first]
+        t_end = time.perf_counter() + self.max_delay_s
+        while len(reqs) < self.max_batch:
+            timeout = t_end - time.perf_counter()
+            try:
+                item = self._q.get(timeout=max(0.0, timeout))
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-signal shutdown after this batch
+                break
+            reqs.append(item)
+        return reqs
+
+    def _loop(self) -> None:
+        est = self.estimator
+        while True:
+            reqs = self._collect()
+            if reqs is None:
+                break
+            frames = [f for f, _ in reqs]
+            # pad to the ONE compiled batch shape; padded rows discarded
+            batch = np.stack(
+                frames + [frames[-1]] * (self.max_batch - len(frames))
+            )
+            try:
+                preds = np.asarray(self._fn(est.params, batch))
+            except Exception as e:  # surface failures on every waiter
+                for _, fut in reqs:
+                    fut.set_exception(e)
+                continue
+            self.batches_dispatched += 1
+            self.frames_served += len(reqs)
+            for i, (_, fut) in enumerate(reqs):
+                fut.set_result(preds[i])
+        # shutdown: fail anything still queued
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("server closed"))

@@ -1,0 +1,82 @@
+"""DepthServer dynamic batching: concurrent submits → one padded
+static-shape dispatch per batch, results identical to direct predict."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.runtime.server import DepthServer
+
+
+@pytest.fixture(scope="module")
+def est():
+    import warnings
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return DepthEstimator("MiDaS_small", verbose=False)
+
+
+def _expected_u8(est, frames):
+    fn = est._batched_fn(frames[0].shape[:2], output="u8")
+    return np.asarray(fn(est.params, np.stack(frames)))
+
+
+def test_server_results_match_direct(est, rng):
+    frames = [rng.integers(0, 256, (64, 96, 3), np.uint8) for _ in range(6)]
+    want = _expected_u8(est, frames)
+    with DepthServer(est, (64, 96), max_batch=4, max_delay_ms=50) as srv:
+        futs = [srv.submit(f) for f in frames]
+        got = [f.result(timeout=120) for f in futs]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+        assert g.dtype == np.uint8
+    assert srv.frames_served == 6
+    # 6 requests, max_batch 4, 50 ms coalescing window → fewer dispatches
+    # than requests (loose bound: a loaded 1-core host may preempt submits)
+    assert srv.batches_dispatched < 6
+
+
+def test_server_batches_concurrent_clients(est, rng):
+    """N threads submitting simultaneously must coalesce into far fewer
+    dispatches than requests (the whole point of dynamic batching)."""
+    n = 12
+    frames = [rng.integers(0, 256, (64, 96, 3), np.uint8) for _ in range(n)]
+    want = _expected_u8(est, frames)
+    srv = DepthServer(est, (64, 96), max_batch=8, max_delay_ms=100)
+    # warm the executable so the first batch isn't a compile outlier
+    srv.submit(frames[0]).result(timeout=300)
+    results = [None] * n
+    start = threading.Barrier(n)
+
+    def client(i):
+        start.wait()
+        results[i] = srv.submit(frames[i]).result(timeout=300)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.close()
+    for i in range(n):
+        np.testing.assert_array_equal(results[i], want[i])
+    # 1 warm + 12 concurrent: coalescing must beat one-dispatch-per-request
+    assert srv.batches_dispatched < 1 + n
+
+
+def test_server_validates_and_closes(est, rng):
+    srv = DepthServer(est, (64, 96), max_batch=2, max_delay_ms=1)
+    with pytest.raises(ValueError, match="uint8"):
+        srv.submit(np.zeros((64, 96, 3), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        srv.submit(np.zeros((32, 48, 3), np.uint8))
+    f = srv.submit(rng.integers(0, 256, (64, 96, 3), np.uint8))
+    srv.close()
+    assert f.result(timeout=120).shape == (64, 96)  # drained before shutdown
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(rng.integers(0, 256, (64, 96, 3), np.uint8))
+    srv.close()  # idempotent
