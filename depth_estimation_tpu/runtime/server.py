@@ -50,15 +50,21 @@ class DepthServer:
 
     def __init__(self, estimator, hw: Tuple[int, int], max_batch: int = 8,
                  max_delay_ms: float = 5.0, output: str = "u8"):
+        import inspect
+
         self.estimator = estimator
         self.hw = (int(hw[0]), int(hw[1]))
         self.max_batch = max(1, int(max_batch))
         self.max_delay_s = max(0.0, float(max_delay_ms)) / 1e3
-        try:
+        # signature check, not try/except TypeError: a TypeError raised
+        # INSIDE a modern _batched_fn must not silently downgrade to f32
+        params = inspect.signature(estimator._batched_fn).parameters
+        if "output" in params:
             self._fn = estimator._batched_fn(self.hw, output=output)
-        except TypeError:  # estimator stand-in with the old signature
+        else:  # estimator stand-in with the old signature
             self._fn = estimator._batched_fn(self.hw)
         self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
         self._closed = False
         self.batches_dispatched = 0
         self.frames_served = 0
@@ -70,8 +76,6 @@ class DepthServer:
     def submit(self, frame_u8: np.ndarray) -> Future:
         """Enqueue one (H, W, 3) uint8 frame; resolves to its (H, W)
         depth output (u8 by default — the device-postprocessed cast)."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         frame_u8 = np.asarray(frame_u8)
         if frame_u8.shape != (*self.hw, 3) or frame_u8.dtype != np.uint8:
             raise ValueError(
@@ -79,17 +83,24 @@ class DepthServer:
                 f"{frame_u8.shape} {frame_u8.dtype}"
             )
         fut: Future = Future()
-        # copy: the client may reuse its buffer while the request waits
-        self._q.put((frame_u8.copy(), fut))
+        # the lock makes closed-check + enqueue atomic vs close(): without
+        # it a submit could land BEHIND the shutdown sentinel and strand
+        # its future in a queue no thread reads
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            # copy: the client may reuse its buffer while the request waits
+            self._q.put((frame_u8.copy(), fut))
         return fut
 
     def close(self) -> None:
         """Stop the dispatcher after serving everything already queued
         (the shutdown sentinel enters the FIFO behind them)."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # wake the dispatcher
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # wake the dispatcher
         self._thread.join()
 
     def __enter__(self):
@@ -126,6 +137,13 @@ class DepthServer:
             reqs = self._collect()
             if reqs is None:
                 break
+            # claim each future; a client may have cancelled while queued —
+            # resolving a CANCELLED future raises InvalidStateError and
+            # would kill this thread (hanging every other request)
+            reqs = [(f, fut) for f, fut in reqs
+                    if fut.set_running_or_notify_cancel()]
+            if not reqs:
+                continue
             frames = [f for f, _ in reqs]
             # pad to the ONE compiled batch shape; padded rows discarded
             batch = np.stack(
@@ -140,12 +158,14 @@ class DepthServer:
             self.batches_dispatched += 1
             self.frames_served += len(reqs)
             for i, (_, fut) in enumerate(reqs):
-                fut.set_result(preds[i])
+                # copy: preds[i] is a view pinning the whole padded batch
+                # in host memory for as long as the client keeps it
+                fut.set_result(preds[i].copy())
         # shutdown: fail anything still queued
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not None:
+            if item is not None and item[1].set_running_or_notify_cancel():
                 item[1].set_exception(RuntimeError("server closed"))

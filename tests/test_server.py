@@ -80,3 +80,39 @@ def test_server_validates_and_closes(est, rng):
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit(rng.integers(0, 256, (64, 96, 3), np.uint8))
     srv.close()  # idempotent
+
+
+class _SlowStubEstimator:
+    """Stand-in with a slow batched program so queued requests can be
+    cancelled deterministically while the dispatcher is busy."""
+
+    params = None
+
+    def _batched_fn(self, hw, output="u8"):
+        def fn(params, batch):
+            import time
+
+            time.sleep(0.2)
+            return batch[..., 0]  # (B, H, W) u8
+
+        return fn
+
+
+def test_server_survives_cancelled_requests(rng):
+    """A client cancelling a queued Future must not kill the dispatcher
+    (resolving a cancelled future raises InvalidStateError)."""
+    frames = [rng.integers(0, 256, (16, 24, 3), np.uint8) for _ in range(3)]
+    srv = DepthServer(_SlowStubEstimator(), (16, 24), max_batch=1,
+                      max_delay_ms=0)
+    f1 = srv.submit(frames[0])          # dispatcher goes busy for ~0.2 s
+    import time
+
+    time.sleep(0.05)
+    f2 = srv.submit(frames[1])          # queued behind f1
+    assert f2.cancel()                  # cancelled while queued
+    f3 = srv.submit(frames[2])          # must still be served
+    np.testing.assert_array_equal(f1.result(timeout=30), frames[0][..., 0])
+    np.testing.assert_array_equal(f3.result(timeout=30), frames[2][..., 0])
+    assert f2.cancelled()
+    assert srv.frames_served == 2
+    srv.close()
