@@ -29,6 +29,7 @@ __all__ = [
     "VidStream",
     "MultiStream",
     "DepthServer",
+    "FusedDepthServer",
 ]
 
 
@@ -61,4 +62,8 @@ def __getattr__(name):  # lazy imports keep `import depth_estimation_tpu` cheap
         from depth_estimation_tpu.runtime.server import DepthServer
 
         return DepthServer
+    if name == "FusedDepthServer":
+        from depth_estimation_tpu.runtime.server import FusedDepthServer
+
+        return FusedDepthServer
     raise AttributeError(f"module 'depth_estimation_tpu' has no attribute {name!r}")

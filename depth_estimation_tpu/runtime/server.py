@@ -7,16 +7,23 @@ answer is DYNAMIC BATCHING, tuned for how TPUs actually execute:
 
 * requests queue on the host; a dispatcher thread drains up to
   ``max_batch`` of them, PADS the batch to exactly ``max_batch`` by
-  repeating the last frame, and runs the estimator's batched u8 frame
-  program — one static shape, ONE compiled executable for the server's
-  lifetime (XLA recompiles on any shape change, so variable-size batches
-  would be poison);
+  repeating the last frame, and runs ONE batched program — one static
+  shape, ONE compiled executable for the server's lifetime (XLA
+  recompiles on any shape change, so variable-size batches would be
+  poison);
 * a partial batch dispatches after ``max_delay_ms`` — the classic
   latency/throughput knob (batch table in BASELINE.md: MiDaS-small
-  819 → 1146 imgs/s from batch 1 → 8);
-* results come back as futures; each request's depth frame is fetched
-  from the ONE per-batch device transfer (u8 bytes only — the same
+  819 → 1146 imgs/s from batch 1 → 8; measured 2.4× aggregate req/s
+  through the tunneled chip at max_batch 8);
+* results come back as futures; each request's outputs are fetched from
+  the ONE per-batch device transfer (u8 bytes + scalars only — the same
   transfer discipline as the streaming loops).
+
+Two services share the dispatcher core: :class:`DepthServer` (depth-only,
+u8 map per request) and :class:`FusedDepthServer` (the whole config-4
+fused program per request — depth + BlazeFace + FaceMesh/iris + BlazePose
+fallback + postprocess + sampling, via ``jax.vmap`` of the fused frame
+program; stateless, so the body-fallback sampling points are zeros).
 
 No sockets here by design: transport is deployment-specific, and this
 queue + futures API is the part a gRPC/HTTP front end would wrap.
@@ -33,36 +40,15 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-class DepthServer:
-    """Dynamic-batching depth service over one estimator.
+class _DynamicBatcher:
+    """Queue + futures + padded static-shape dispatch loop; subclasses
+    implement ``_dispatch(frames) -> list of per-request results``."""
 
-    All frames must share one resolution (``hw``) — one static-shape
-    executable; run one server per resolution class (cf. MultiStream's
-    per-(H, W) bucketing).
-
-    Usage::
-
-        srv = DepthServer(est, (480, 640), max_batch=8, max_delay_ms=5)
-        fut = srv.submit(frame_u8)        # thread-safe, returns a Future
-        depth_u8 = fut.result()
-        srv.close()
-    """
-
-    def __init__(self, estimator, hw: Tuple[int, int], max_batch: int = 8,
-                 max_delay_ms: float = 5.0, output: str = "u8"):
-        import inspect
-
-        self.estimator = estimator
+    def __init__(self, hw: Tuple[int, int], max_batch: int,
+                 max_delay_ms: float):
         self.hw = (int(hw[0]), int(hw[1]))
         self.max_batch = max(1, int(max_batch))
         self.max_delay_s = max(0.0, float(max_delay_ms)) / 1e3
-        # signature check, not try/except TypeError: a TypeError raised
-        # INSIDE a modern _batched_fn must not silently downgrade to f32
-        params = inspect.signature(estimator._batched_fn).parameters
-        if "output" in params:
-            self._fn = estimator._batched_fn(self.hw, output=output)
-        else:  # estimator stand-in with the old signature
-            self._fn = estimator._batched_fn(self.hw)
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._closed = False
@@ -74,8 +60,7 @@ class DepthServer:
     # -- client side ---------------------------------------------------------
 
     def submit(self, frame_u8: np.ndarray) -> Future:
-        """Enqueue one (H, W, 3) uint8 frame; resolves to its (H, W)
-        depth output (u8 by default — the device-postprocessed cast)."""
+        """Enqueue one (H, W, 3) uint8 frame; thread-safe."""
         frame_u8 = np.asarray(frame_u8)
         if frame_u8.shape != (*self.hw, 3) or frame_u8.dtype != np.uint8:
             raise ValueError(
@@ -111,6 +96,9 @@ class DepthServer:
 
     # -- dispatcher ----------------------------------------------------------
 
+    def _dispatch(self, frames):  # pragma: no cover - abstract
+        raise NotImplementedError
+
     def _collect(self) -> Optional[list]:
         """Block for the first request, then drain up to max_batch-1 more,
         waiting at most max_delay_s for stragglers."""
@@ -132,7 +120,6 @@ class DepthServer:
         return reqs
 
     def _loop(self) -> None:
-        est = self.estimator
         while True:
             reqs = self._collect()
             if reqs is None:
@@ -144,23 +131,16 @@ class DepthServer:
                     if fut.set_running_or_notify_cancel()]
             if not reqs:
                 continue
-            frames = [f for f, _ in reqs]
-            # pad to the ONE compiled batch shape; padded rows discarded
-            batch = np.stack(
-                frames + [frames[-1]] * (self.max_batch - len(frames))
-            )
             try:
-                preds = np.asarray(self._fn(est.params, batch))
+                results = self._dispatch([f for f, _ in reqs])
             except Exception as e:  # surface failures on every waiter
                 for _, fut in reqs:
                     fut.set_exception(e)
                 continue
             self.batches_dispatched += 1
             self.frames_served += len(reqs)
-            for i, (_, fut) in enumerate(reqs):
-                # copy: preds[i] is a view pinning the whole padded batch
-                # in host memory for as long as the client keeps it
-                fut.set_result(preds[i].copy())
+            for res, (_, fut) in zip(results, reqs):
+                fut.set_result(res)
         # shutdown: fail anything still queued
         while True:
             try:
@@ -169,3 +149,87 @@ class DepthServer:
                 break
             if item is not None and item[1].set_running_or_notify_cancel():
                 item[1].set_exception(RuntimeError("server closed"))
+
+    def _pad(self, frames) -> np.ndarray:
+        """Pad to the ONE compiled batch shape; padded rows discarded."""
+        return np.stack(frames + [frames[-1]] * (self.max_batch - len(frames)))
+
+
+class DepthServer(_DynamicBatcher):
+    """Dynamic-batching depth service over one estimator.
+
+    All frames must share one resolution (``hw``) — one static-shape
+    executable; run one server per resolution class (cf. MultiStream's
+    per-(H, W) bucketing).
+
+    Usage::
+
+        srv = DepthServer(est, (480, 640), max_batch=8, max_delay_ms=5)
+        fut = srv.submit(frame_u8)        # thread-safe, returns a Future
+        depth_u8 = fut.result()
+        srv.close()
+    """
+
+    def __init__(self, estimator, hw: Tuple[int, int], max_batch: int = 8,
+                 max_delay_ms: float = 5.0, output: str = "u8"):
+        import inspect
+
+        self.estimator = estimator
+        hw = (int(hw[0]), int(hw[1]))
+        # signature check, not try/except TypeError: a TypeError raised
+        # INSIDE a modern _batched_fn must not silently downgrade to f32
+        params = inspect.signature(estimator._batched_fn).parameters
+        if "output" in params:
+            self._fn = estimator._batched_fn(hw, output=output)
+        else:  # estimator stand-in with the old signature
+            self._fn = estimator._batched_fn(hw)
+        super().__init__(hw, max_batch, max_delay_ms)
+
+    def submit(self, frame_u8: np.ndarray) -> Future:
+        """Enqueue one (H, W, 3) uint8 frame; resolves to its (H, W)
+        depth output (u8 by default — the device-postprocessed cast)."""
+        return super().submit(frame_u8)
+
+    def _dispatch(self, frames):
+        preds = np.asarray(self._fn(self.estimator.params, self._pad(frames)))
+        # copy: preds[i] is a view pinning the whole padded batch in host
+        # memory for as long as the client keeps it
+        return [preds[i].copy() for i in range(len(frames))]
+
+
+class FusedDepthServer(_DynamicBatcher):
+    """Dynamic-batching service for the config-4 FUSED pipeline: each
+    request resolves to the fused program's full output dict (mesh, iris
+    circles, pose fallback, device-postprocessed ``vis_u8``, depth
+    samples — runtime/fused.py::make_fused_iris_frame_fn's contract).
+
+    Stateless by design — requests are independent frames, so the
+    body-fallback sampling points (a per-STREAM memory in the reference
+    loop) are zeros; ``fallback_sample`` is only meaningful for stateful
+    stream clients, which use FusedVidStream instead. Batching runs both
+    ``lax.cond`` branches per frame under vmap (PARITY #13), and the saved
+    (K-1) round trips dominate exactly as measured for the micro-batched
+    stream path (BASELINE.md)."""
+
+    def __init__(self, estimator, detector, hw: Tuple[int, int],
+                 max_batch: int = 8, max_delay_ms: float = 5.0):
+        import jax
+
+        from depth_estimation_tpu.runtime.fused import FusedFrameRunner
+
+        self._jax = jax
+        self._runner = FusedFrameRunner(estimator, detector,
+                                        emit_depth_map=False)
+        if not self._runner.mesh:
+            raise ValueError("FusedDepthServer needs mesh-capable detector")
+        super().__init__(hw, max_batch, max_delay_ms)
+
+    def submit(self, frame_u8: np.ndarray) -> Future:
+        """Enqueue one (H, W, 3) uint8 frame; resolves to the fused output
+        dict for that frame."""
+        return super().submit(frame_u8)
+
+    def _dispatch(self, frames):
+        out = self._jax.device_get(self._runner.batched(self._pad(frames)))
+        return [{k: np.array(v[i]) for k, v in out.items()}
+                for i in range(len(frames))]

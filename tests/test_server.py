@@ -116,3 +116,46 @@ def test_server_survives_cancelled_requests(rng):
     assert f2.cancelled()
     assert srv.frames_served == 2
     srv.close()
+
+
+def test_fused_server_matches_direct_batched(rng):
+    """FusedDepthServer results must equal a direct runner.batched call on
+    the same frames (full output dict, per request)."""
+    import warnings
+
+    import jax
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+    from depth_estimation_tpu.runtime.fused import FusedFrameRunner
+    from depth_estimation_tpu.runtime.server import FusedDepthServer
+    from tests.test_fused_iris import _make_detector
+
+    from depth_estimation_tpu import registry
+    from depth_estimation_tpu.config import SMALL_PREPROCESS
+    from tests.test_estimator_stream import _TinyDepthNet
+
+    if "Tiny_test" not in registry.available_models():
+        registry.register(registry.ModelEntry(
+            "Tiny_test", _TinyDepthNet, SMALL_PREPROCESS, lambda sd: sd))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        est = DepthEstimator("Tiny_test", verbose=False)
+    det, _face = _make_detector()
+    frames = [rng.integers(0, 256, (120, 160, 3), np.uint8)
+              for _ in range(3)]
+    K = 2
+    with FusedDepthServer(est, det, (120, 160), max_batch=K,
+                          max_delay_ms=50) as srv:
+        futs = [srv.submit(f) for f in frames]
+        got = [f.result(timeout=300) for f in futs]
+    assert srv.frames_served == 3
+
+    runner = FusedFrameRunner(est, det, emit_depth_map=False)
+    want = jax.device_get(runner.batched(np.stack(frames[:2])))
+    # compare request 0/1 against the direct K=2 batch of frames 0/1
+    for i in (0, 1):
+        assert set(got[i]) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[i][k], np.asarray(want[k][i]),
+                                          err_msg=k)
+    assert got[2]["vis_u8"].dtype == np.uint8
