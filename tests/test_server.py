@@ -159,3 +159,20 @@ def test_fused_server_matches_direct_batched(rng):
             np.testing.assert_array_equal(got[i][k], np.asarray(want[k][i]),
                                           err_msg=k)
     assert got[2]["vis_u8"].dtype == np.uint8
+
+
+def test_serve_cli_online(capsys):
+    """`depth-serve --online`: end-to-end through the CLI — all frames
+    served, coalesced into fewer dispatches than requests."""
+    import warnings
+
+    from depth_estimation_tpu.tools import serve
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        serve.main(["--src", "synthetic:4x64x96", "--src", "synthetic:3x64x96",
+                    "--online", "--max-batch", "4", "--max-delay-ms", "50",
+                    "--model-type", "MiDaS_small"])
+    out = capsys.readouterr().out
+    assert "Sucessfully read 7 frames over 2 streams." in out
+    assert "7 requests in" in out
