@@ -176,3 +176,25 @@ def test_serve_cli_online(capsys):
     out = capsys.readouterr().out
     assert "Sucessfully read 7 frames over 2 streams." in out
     assert "7 requests in" in out
+
+
+def test_server_surfaces_dispatch_errors(rng):
+    """A failing batched program must fail the waiting futures and leave
+    the dispatcher alive for later requests."""
+    class _Boom:
+        params = None
+
+        def _batched_fn(self, hw, output="u8"):
+            def fn(params, batch):
+                raise RuntimeError("boom")
+
+            return fn
+
+    srv = DepthServer(_Boom(), (8, 12), max_batch=2, max_delay_ms=1)
+    frame = rng.integers(0, 256, (8, 12, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="boom"):
+        srv.submit(frame).result(timeout=30)
+    with pytest.raises(RuntimeError, match="boom"):  # still serving
+        srv.submit(frame).result(timeout=30)
+    assert srv.frames_served == 0
+    srv.close()
