@@ -30,6 +30,7 @@ __all__ = [
     "MultiStream",
     "DepthServer",
     "FusedDepthServer",
+    "BucketedDepthServer",
 ]
 
 
@@ -66,4 +67,8 @@ def __getattr__(name):  # lazy imports keep `import depth_estimation_tpu` cheap
         from depth_estimation_tpu.runtime.server import FusedDepthServer
 
         return FusedDepthServer
+    if name == "BucketedDepthServer":
+        from depth_estimation_tpu.runtime.server import BucketedDepthServer
+
+        return BucketedDepthServer
     raise AttributeError(f"module 'depth_estimation_tpu' has no attribute {name!r}")

@@ -233,3 +233,72 @@ class FusedDepthServer(_DynamicBatcher):
         out = self._jax.device_get(self._runner.batched(self._pad(frames)))
         return [{k: np.array(v[i]) for k, v in out.items()}
                 for i in range(len(frames))]
+
+
+class BucketedDepthServer:
+    """Route mixed-resolution requests to per-(H, W) DepthServers — the
+    online mirror of MultiStream's resolution bucketing (one static-shape
+    executable per bucket).
+
+    Buckets are created lazily on first sight of a resolution (first
+    request pays that bucket's compile); call :meth:`warm` up front for
+    the resolutions you expect to avoid mid-serving compile stalls."""
+
+    def __init__(self, estimator, max_batch: int = 8,
+                 max_delay_ms: float = 5.0, output: str = "u8"):
+        self.estimator = estimator
+        self.max_batch = max_batch
+        self.max_delay_ms = max_delay_ms
+        self.output = output
+        self._servers: dict = {}
+        self._lock = threading.Lock()
+        self._closed = False
+
+    def _server_for(self, hw: Tuple[int, int]) -> DepthServer:
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            srv = self._servers.get(hw)
+            if srv is None:
+                srv = self._servers[hw] = DepthServer(
+                    self.estimator, hw, max_batch=self.max_batch,
+                    max_delay_ms=self.max_delay_ms, output=self.output,
+                )
+            return srv
+
+    def warm(self, hw: Tuple[int, int]) -> None:
+        """Pre-create (and pre-compile, via a zero frame) one bucket."""
+        srv = self._server_for((int(hw[0]), int(hw[1])))
+        srv.submit(np.zeros((*srv.hw, 3), np.uint8)).result()
+
+    def submit(self, frame_u8: np.ndarray) -> Future:
+        """Enqueue one (H, W, 3) uint8 frame of ANY resolution."""
+        frame_u8 = np.asarray(frame_u8)
+        if frame_u8.ndim != 3 or frame_u8.shape[-1] != 3 \
+                or frame_u8.dtype != np.uint8:
+            raise ValueError(
+                f"expected (H, W, 3) uint8, got {frame_u8.shape} "
+                f"{frame_u8.dtype}"
+            )
+        return self._server_for(frame_u8.shape[:2]).submit(frame_u8)
+
+    def close(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            servers = list(self._servers.values())
+        for srv in servers:
+            srv.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def stats(self) -> dict:
+        """Per-bucket (batches_dispatched, frames_served)."""
+        return {hw: (s.batches_dispatched, s.frames_served)
+                for hw, s in self._servers.items()}

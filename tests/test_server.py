@@ -198,3 +198,26 @@ def test_server_surfaces_dispatch_errors(rng):
         srv.submit(frame).result(timeout=30)
     assert srv.frames_served == 0
     srv.close()
+
+
+def test_bucketed_server_mixed_resolutions(est, rng):
+    """BucketedDepthServer routes by frame resolution; results match the
+    direct batched program for each bucket."""
+    from depth_estimation_tpu.runtime.server import BucketedDepthServer
+
+    big = [rng.integers(0, 256, (64, 96, 3), np.uint8) for _ in range(3)]
+    small = [rng.integers(0, 256, (32, 48, 3), np.uint8) for _ in range(2)]
+    with BucketedDepthServer(est, max_batch=4, max_delay_ms=20) as srv:
+        futs = [srv.submit(f) for f in big] + [srv.submit(f) for f in small]
+        got = [f.result(timeout=120) for f in futs]
+        with pytest.raises(ValueError, match="uint8"):
+            srv.submit(np.zeros((8, 8, 3), np.float32))
+    want_big = _expected_u8(est, big)
+    want_small = _expected_u8(est, small)
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], want_big[i])
+    for i in range(2):
+        np.testing.assert_array_equal(got[3 + i], want_small[i])
+    assert set(srv.stats) == {(64, 96), (32, 48)}
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(big[0])
