@@ -217,11 +217,19 @@ class FusedDepthServer(_DynamicBatcher):
 
         from depth_estimation_tpu.runtime.fused import FusedFrameRunner
 
+        # capability check on the DETECTOR (FusedVidStream's criterion,
+        # stream.py) — runner.mesh is just a constructor flag and would
+        # pass for any object, deferring the failure to the first dispatch
+        if not (hasattr(detector, "_face_det_params")
+                and hasattr(detector, "_mesh_params")
+                and hasattr(detector, "_pose_params")):
+            raise ValueError(
+                "FusedDepthServer needs a fused-capable PersonDetector "
+                "(with _face_det_params/_mesh_params/_pose_params)"
+            )
         self._jax = jax
         self._runner = FusedFrameRunner(estimator, detector,
                                         emit_depth_map=False)
-        if not self._runner.mesh:
-            raise ValueError("FusedDepthServer needs mesh-capable detector")
         super().__init__(hw, max_batch, max_delay_ms)
 
     def submit(self, frame_u8: np.ndarray) -> Future:
@@ -245,11 +253,17 @@ class BucketedDepthServer:
     the resolutions you expect to avoid mid-serving compile stalls."""
 
     def __init__(self, estimator, max_batch: int = 8,
-                 max_delay_ms: float = 5.0, output: str = "u8"):
+                 max_delay_ms: float = 5.0, output: str = "u8",
+                 max_buckets: int = 8):
+        """``max_buckets`` bounds the lazily-created servers: each bucket
+        costs a dispatcher thread + a compiled executable for the process
+        lifetime, so an unconstrained resolution mix (or an adversarial
+        front end walking resolutions) must be rejected, not absorbed."""
         self.estimator = estimator
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
         self.output = output
+        self.max_buckets = max(1, int(max_buckets))
         self._servers: dict = {}
         self._lock = threading.Lock()
         self._closed = False
@@ -260,6 +274,12 @@ class BucketedDepthServer:
                 raise RuntimeError("server is closed")
             srv = self._servers.get(hw)
             if srv is None:
+                if len(self._servers) >= self.max_buckets:
+                    raise ValueError(
+                        f"resolution {hw} would exceed max_buckets="
+                        f"{self.max_buckets} (existing: "
+                        f"{sorted(self._servers)})"
+                    )
                 srv = self._servers[hw] = DepthServer(
                     self.estimator, hw, max_batch=self.max_batch,
                     max_delay_ms=self.max_delay_ms, output=self.output,
@@ -299,6 +319,10 @@ class BucketedDepthServer:
 
     @property
     def stats(self) -> dict:
-        """Per-bucket (batches_dispatched, frames_served)."""
+        """Per-bucket (batches_dispatched, frames_served); snapshot taken
+        under the lock — a concurrent first-seen submit may be inserting a
+        bucket while a monitor iterates."""
+        with self._lock:
+            items = list(self._servers.items())
         return {hw: (s.batches_dispatched, s.frames_served)
-                for hw, s in self._servers.items()}
+                for hw, s in items}

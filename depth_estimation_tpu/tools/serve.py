@@ -47,39 +47,51 @@ def main(argv=None):
 
 def _serve_online(est, args) -> None:
     """One client thread per --src submitting frames to a shared
-    DepthServer; outputs written per stream in order."""
+    BucketedDepthServer (mixed resolutions route to per-(H, W) buckets);
+    outputs written per stream in order with bounded futures in flight."""
+    import sys
     import threading
+    from collections import deque
 
     import numpy as np
 
     from depth_estimation_tpu.ops.postprocess import merge_gray3
-    from depth_estimation_tpu.runtime.server import DepthServer
+    from depth_estimation_tpu.runtime.server import BucketedDepthServer
     from depth_estimation_tpu.runtime.video import open_sink, open_source
 
     outputs = args.output or [None] * len(args.src)
     if len(outputs) != len(args.src):
         raise SystemExit(f"{len(args.src)} --src but {len(outputs)} --output")
     sources = [open_source(s) for s in args.src]
-    hw = {(int(v.height), int(v.width)) for v in sources}
-    if len(hw) != 1:
-        raise SystemExit("--online serves one resolution per server; run "
-                         f"one per class (got {sorted(hw)})")
-    (h, w), = hw
-    sinks = [open_sink(o, (w, h), fps=20) for o in outputs]
+    sinks = [open_sink(o, (int(v.width), int(v.height)), fps=20)
+             for o, v in zip(outputs, sources)]
     counts = [0] * len(sources)
-    with DepthServer(est, (h, w), max_batch=args.max_batch,
-                     max_delay_ms=args.max_delay_ms) as srv:
+    errors = []
+    with BucketedDepthServer(est, max_batch=args.max_batch,
+                             max_delay_ms=args.max_delay_ms) as srv:
 
         def client(i):
-            futs = []
-            while True:
-                ok, frame = sources[i].read()
-                if not ok:
-                    break
-                futs.append(srv.submit(frame))
-            for f in futs:  # write in order
-                sinks[i].write(merge_gray3(np.asarray(f.result())))
-                counts[i] += 1
+            try:
+                pending: deque = deque()
+
+                def drain_one():
+                    sinks[i].write(
+                        merge_gray3(np.asarray(pending.popleft().result())))
+                    counts[i] += 1
+
+                while True:
+                    ok, frame = sources[i].read()
+                    if not ok:
+                        break
+                    pending.append(srv.submit(frame))
+                    # bounded futures in flight: without this, a long
+                    # source buffers a copy of EVERY unserved frame
+                    if len(pending) > 2 * args.max_batch:
+                        drain_one()
+                while pending:
+                    drain_one()
+            except Exception as e:  # surface per-stream failures to main
+                errors.append((args.src[i], e))
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(len(sources))]
@@ -87,15 +99,22 @@ def _serve_online(est, args) -> None:
             t.start()
         for t in threads:
             t.join()
+        stats = srv.stats
     for v in sources:
         v.release()
     for s in sinks:
         s.release()
+    if errors:
+        for src, e in errors:
+            print(f"stream {src} failed: {e!r}", file=sys.stderr)
+        raise SystemExit(1)
     if not args.quiet:
+        total_frames = sum(f for _, f in stats.values())
+        total_batches = sum(b for b, _ in stats.values())
         print(f"Sucessfully read {sum(counts)} frames over "
               f"{len(sources)} streams.")
-        print(f"Online: {srv.frames_served} requests in "
-              f"{srv.batches_dispatched} dispatches "
+        print(f"Online: {total_frames} requests in {total_batches} "
+              f"dispatches across {len(stats)} resolution bucket(s) "
               f"(max_batch {args.max_batch})")
 
 

@@ -171,11 +171,13 @@ def test_serve_cli_online(capsys):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         serve.main(["--src", "synthetic:4x64x96", "--src", "synthetic:3x64x96",
+                    "--src", "synthetic:2x32x48",  # mixed resolution bucket
                     "--online", "--max-batch", "4", "--max-delay-ms", "50",
                     "--model-type", "MiDaS_small"])
     out = capsys.readouterr().out
-    assert "Sucessfully read 7 frames over 2 streams." in out
-    assert "7 requests in" in out
+    assert "Sucessfully read 9 frames over 3 streams." in out
+    assert "9 requests in" in out
+    assert "2 resolution bucket(s)" in out
 
 
 def test_server_surfaces_dispatch_errors(rng):
@@ -221,3 +223,24 @@ def test_bucketed_server_mixed_resolutions(est, rng):
     assert set(srv.stats) == {(64, 96), (32, 48)}
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit(big[0])
+
+
+def test_bucketed_server_caps_buckets(est, rng):
+    from depth_estimation_tpu.runtime.server import BucketedDepthServer
+
+    with BucketedDepthServer(est, max_batch=2, max_delay_ms=1,
+                             max_buckets=1) as srv:
+        srv.submit(rng.integers(0, 256, (32, 48, 3), np.uint8)).result(
+            timeout=120)
+        with pytest.raises(ValueError, match="max_buckets"):
+            srv.submit(rng.integers(0, 256, (64, 96, 3), np.uint8))
+
+
+def test_fused_server_rejects_incapable_detector(est):
+    from depth_estimation_tpu.runtime.server import FusedDepthServer
+
+    class _NotADetector:
+        pass
+
+    with pytest.raises(ValueError, match="fused-capable"):
+        FusedDepthServer(est, _NotADetector(), (64, 96))
