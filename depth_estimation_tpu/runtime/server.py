@@ -19,11 +19,13 @@ answer is DYNAMIC BATCHING, tuned for how TPUs actually execute:
   the ONE per-batch device transfer (u8 bytes + scalars only — the same
   transfer discipline as the streaming loops).
 
-Two services share the dispatcher core: :class:`DepthServer` (depth-only,
-u8 map per request) and :class:`FusedDepthServer` (the whole config-4
-fused program per request — depth + BlazeFace + FaceMesh/iris + BlazePose
-fallback + postprocess + sampling, via ``jax.vmap`` of the fused frame
-program; stateless, so the body-fallback sampling points are zeros).
+Three surfaces: :class:`DepthServer` (depth-only, u8 map per request) and
+:class:`FusedDepthServer` (the whole config-4 fused program per request —
+depth + BlazeFace + FaceMesh/iris + BlazePose fallback + postprocess +
+sampling, via ``jax.vmap`` of the fused frame program; stateless, so the
+body-fallback sampling points are zeros) share the dispatcher core;
+:class:`BucketedDepthServer` routes mixed-resolution requests to
+per-(H, W) DepthServers (bounded by ``max_buckets``).
 
 No sockets here by design: transport is deployment-specific, and this
 queue + futures API is the part a gRPC/HTTP front end would wrap.
