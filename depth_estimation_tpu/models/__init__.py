@@ -1,4 +1,4 @@
-__all__ = ["MidasSmall", "DPT"]
+__all__ = ["MidasSmall", "MidasV21", "DPT"]
 
 
 def __getattr__(name):
@@ -6,6 +6,10 @@ def __getattr__(name):
         from depth_estimation_tpu.models.midas_small import MidasSmall
 
         return MidasSmall
+    if name == "MidasV21":
+        from depth_estimation_tpu.models.midas_v21 import MidasV21
+
+        return MidasV21
     if name == "DPT":
         from depth_estimation_tpu.models.dpt import DPT
 

@@ -3,7 +3,10 @@
 Replaces the reference's name-based torch.hub dispatch
 (``torch.hub.load("intel-isl/MiDaS", model_type)`` + transform selection,
 depth_midas.py:10-16) with an explicit registry. Names match the reference
-exactly: "DPT_Large", "DPT_Hybrid", "MiDaS_small".
+exactly: "DPT_Large", "DPT_Hybrid", "MiDaS_small", plus the hub-era "MiDaS"
+(v2.1 Large) — the reference's dispatch special-cases only the DPT names, so
+"MiDaS" reaches its small_transform branch (depth_midas.py:13-16), mirrored
+here by giving it SMALL_PREPROCESS (docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -49,10 +52,22 @@ def _make_dpt_hybrid():
     return DPT(DPT_HYBRID)
 
 
+def _make_midas_v21():
+    from depth_estimation_tpu.models.midas_v21 import MidasV21
+
+    return MidasV21()
+
+
 def _convert_small(sd):
     from depth_estimation_tpu.utils.convert import convert_midas_small
 
     return convert_midas_small(sd)
+
+
+def _convert_midas_v21(sd):
+    from depth_estimation_tpu.utils.convert import convert_midas_v21
+
+    return convert_midas_v21(sd)
 
 
 def _convert_dpt_large(sd):
@@ -71,6 +86,7 @@ def _convert_dpt_hybrid(sd):
 
 _REGISTRY: Dict[str, ModelEntry] = {
     "MiDaS_small": ModelEntry("MiDaS_small", _make_midas_small, SMALL_PREPROCESS, _convert_small),
+    "MiDaS": ModelEntry("MiDaS", _make_midas_v21, SMALL_PREPROCESS, _convert_midas_v21),
     "DPT_Large": ModelEntry("DPT_Large", _make_dpt_large, DPT_PREPROCESS, _convert_dpt_large),
     "DPT_Hybrid": ModelEntry(
         "DPT_Hybrid", _make_dpt_hybrid, DPT_PREPROCESS, _convert_dpt_hybrid, f32_precision="highest"

@@ -17,7 +17,7 @@ def main(argv=None):
     apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model-type", default="DPT_Large",
-                    choices=("MiDaS_small", "DPT_Large", "DPT_Hybrid"))
+                    choices=("MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"))
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640),
                     metavar=("H", "W"))
     ap.add_argument("--out", required=True)

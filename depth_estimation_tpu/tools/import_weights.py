@@ -5,7 +5,7 @@ downloads in the reference, depth_midas.py:10):
 
     python -m depth_estimation_tpu.tools.import_weights <ckpt.pt> <model_type>
 
-model_type ∈ {MiDaS_small, DPT_Large, DPT_Hybrid}; conversion is
+model_type ∈ {MiDaS_small, MiDaS, DPT_Large, DPT_Hybrid}; conversion is
 content-hash cached.
 
 Detector models (MediaPipe .tflite, the files mediapipe 0.8.11 bundles —

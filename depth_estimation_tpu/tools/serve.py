@@ -19,7 +19,7 @@ def main(argv=None):
     ap.add_argument("--output", action="append", default=None,
                     help="output path per stream (optional; repeat to match --src)")
     ap.add_argument("--model-type", default="MiDaS_small",
-                    choices=("MiDaS_small", "DPT_Large", "DPT_Hybrid"))
+                    choices=("MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"))
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--microbatch", type=int, default=1,
                     help="frames per stream per tick (M>1 amortizes the "

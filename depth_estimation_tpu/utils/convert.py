@@ -161,6 +161,110 @@ def midas_small_expected_keys() -> List[str]:
     return keys
 
 
+# -- MiDaS v2.1 Large ("MiDaS") ----------------------------------------------
+
+def resnext_hub_prefix(layer: int, block: int) -> str:
+    """Hub state-dict prefix for ResNeXt bottleneck (layer, idx).
+
+    MiDaS `_make_resnet_backbone` wraps the torchvision stem into
+    pretrained.layer1 = Sequential[conv1, bn1, relu, maxpool, resnet.layer1];
+    layers 2-4 are the torchvision layers verbatim.
+    """
+    if layer == 1:
+        return f"pretrained.layer1.4.{block}"
+    return f"pretrained.layer{layer}.{block}"
+
+
+def convert_midas_v21(sd: StateDict, cfg=None) -> Dict:
+    """Hub MidasNet (v2.1 Large) state dict → Flax params for MidasV21.
+
+    Real checkpoints also carry scratch.refinenet4.resConfUnit1.* — the v2.1
+    FeatureFusionBlock constructs both units but the top block never receives
+    a skip, so those params are dead in the forward; they are ignored here
+    (like num_batches_tracked buffers).
+    """
+    from depth_estimation_tpu.models.midas_v21 import MIDAS_V21
+
+    cfg = cfg or MIDAS_V21
+    enc: Dict[str, Dict] = {
+        "conv1": _conv(sd, "pretrained.layer1.0", bias=False),
+        "bn1": _bn(sd, "pretrained.layer1.1"),
+    }
+    for li, depth in enumerate(cfg.depths, start=1):
+        for bi in range(depth):
+            p = resnext_hub_prefix(li, bi)
+            blk = {
+                "conv1": _conv(sd, f"{p}.conv1", bias=False),
+                "bn1": _bn(sd, f"{p}.bn1"),
+                "conv2": _conv(sd, f"{p}.conv2", bias=False),
+                "bn2": _bn(sd, f"{p}.bn2"),
+                "conv3": _conv(sd, f"{p}.conv3", bias=False),
+                "bn3": _bn(sd, f"{p}.bn3"),
+            }
+            if bi == 0:
+                blk["downsample_conv"] = _conv(sd, f"{p}.downsample.0", bias=False)
+                blk["downsample_bn"] = _bn(sd, f"{p}.downsample.1")
+            enc[f"layer{li}_block{bi}"] = blk
+
+    def rcu(prefix: str) -> Dict:
+        return {
+            "conv1": _conv(sd, f"{prefix}.conv1"),
+            "conv2": _conv(sd, f"{prefix}.conv2"),
+        }
+
+    def ffb(prefix: str, has_rcu1: bool) -> Dict:
+        out = {"resConfUnit2": rcu(f"{prefix}.resConfUnit2")}
+        if has_rcu1:
+            out["resConfUnit1"] = rcu(f"{prefix}.resConfUnit1")
+        return out
+
+    params = {
+        "pretrained": enc,
+        "layer1_rn": _conv(sd, "scratch.layer1_rn", bias=False),
+        "layer2_rn": _conv(sd, "scratch.layer2_rn", bias=False),
+        "layer3_rn": _conv(sd, "scratch.layer3_rn", bias=False),
+        "layer4_rn": _conv(sd, "scratch.layer4_rn", bias=False),
+        "refinenet4": ffb("scratch.refinenet4", has_rcu1=False),
+        "refinenet3": ffb("scratch.refinenet3", has_rcu1=True),
+        "refinenet2": ffb("scratch.refinenet2", has_rcu1=True),
+        "refinenet1": ffb("scratch.refinenet1", has_rcu1=True),
+        "output_conv_0": _conv(sd, "scratch.output_conv.0"),
+        "output_conv_2": _conv(sd, "scratch.output_conv.2"),
+        "output_conv_4": _conv(sd, "scratch.output_conv.4"),
+    }
+    return params
+
+
+def midas_v21_expected_keys(cfg=None) -> List[str]:
+    """Every hub key convert_midas_v21 consumes (real checkpoints may carry
+    extras: dead refinenet4.resConfUnit1, num_batches_tracked buffers)."""
+    from depth_estimation_tpu.models.midas_v21 import MIDAS_V21
+
+    cfg = cfg or MIDAS_V21
+    bn_suffixes = ("weight", "bias", "running_mean", "running_var")
+    keys = ["pretrained.layer1.0.weight"]
+    keys += [f"pretrained.layer1.1.{s}" for s in bn_suffixes]
+    for li, depth in enumerate(cfg.depths, start=1):
+        for bi in range(depth):
+            p = resnext_hub_prefix(li, bi)
+            keys += [f"{p}.conv{i}.weight" for i in (1, 2, 3)]
+            for b in ("bn1", "bn2", "bn3"):
+                keys += [f"{p}.{b}.{s}" for s in bn_suffixes]
+            if bi == 0:
+                keys.append(f"{p}.downsample.0.weight")
+                keys += [f"{p}.downsample.1.{s}" for s in bn_suffixes]
+    for i in (1, 2, 3, 4):
+        keys.append(f"scratch.layer{i}_rn.weight")
+    for rn in ("refinenet1", "refinenet2", "refinenet3", "refinenet4"):
+        units = ("resConfUnit2",) if rn == "refinenet4" else ("resConfUnit1", "resConfUnit2")
+        for u in units:
+            for c in ("conv1", "conv2"):
+                keys += [f"scratch.{rn}.{u}.{c}.weight", f"scratch.{rn}.{u}.{c}.bias"]
+    for i in (0, 2, 4):
+        keys += [f"scratch.output_conv.{i}.weight", f"scratch.output_conv.{i}.bias"]
+    return keys
+
+
 # -- DPT (Large / Hybrid) ----------------------------------------------------
 
 def t2f_deconv(w: Array) -> Array:

@@ -25,7 +25,7 @@ def main(argv=None):
     parser.add_argument(
         "--model-type",
         default="DPT_Large",  # reference default (depth_midas.py:91)
-        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small"],
+        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small", "MiDaS"],
     )
     parser.add_argument("--src", default="synthetic:30x480x640", help="video path, camera index, or synthetic:<n>x<H>x<W>")
     parser.add_argument("--output", default="midas_output.avi")

@@ -30,7 +30,7 @@ def main(argv=None):
     parser.add_argument(
         "--model-type",
         default="DPT_Large",  # reference default (midas_mediapipe.py:165)
-        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small"],
+        choices=["DPT_Large", "DPT_Hybrid", "MiDaS_small", "MiDaS"],
     )
     parser.add_argument("--src", default="synthetic:30x480x640")
     parser.add_argument("--output", default="midas_output.avi")

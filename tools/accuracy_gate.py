@@ -45,6 +45,33 @@ def gate_midas_small(threshold):
     return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
 
 
+def gate_midas_v21(threshold):
+    import jax
+    import torch
+
+    sys.path.insert(0, ".")
+    from depth_estimation_tpu.models.midas_v21 import MidasV21
+    from depth_estimation_tpu.registry import get_entry
+    from depth_estimation_tpu.utils.convert import convert_midas_v21
+    from tests.oracles import midas_v21_torch as oracle
+
+    prec = get_entry("MiDaS").f32_precision
+    sd = oracle.make_random_state_dict(seed=13)
+    params = {"params": convert_midas_v21({k: v.numpy() for k, v in sd.items()})}
+    # small_transform bucket (the reference's non-DPT branch): 256 upper_bound
+    x = np.random.default_rng(0).standard_normal((1, 256, 256, 3)).astype(np.float32) * 0.5
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    m = MidasV21()
+
+    @jax.jit
+    def fwd(p, x):
+        with jax.default_matmul_precision(prec):
+            return m.apply(p, x)
+
+    out = np.asarray(fwd(params, x))
+    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+
+
 def gate_dpt(cfg_name, threshold):
     import jax
     import torch
@@ -76,7 +103,7 @@ def gate_dpt(cfg_name, threshold):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=1e-3)
-    ap.add_argument("--models", nargs="*", default=["MiDaS_small", "DPT_Large", "DPT_Hybrid"])
+    ap.add_argument("--models", nargs="*", default=["MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"])
     args = ap.parse_args()
 
     import jax
@@ -89,6 +116,8 @@ def main():
             warnings.simplefilter("ignore")
             if name == "MiDaS_small":
                 err = gate_midas_small(args.threshold)
+            elif name == "MiDaS":
+                err = gate_midas_v21(args.threshold)
             else:
                 err = gate_dpt(name, args.threshold)
         status = "PASS" if err < args.threshold else "FAIL"

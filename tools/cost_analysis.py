@@ -62,7 +62,7 @@ def analyze(model_type, dtype, hw, peak_tflops, hbm_gbs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*",
-                    default=["DPT_Large", "DPT_Hybrid", "MiDaS_small"])
+                    default=["DPT_Large", "DPT_Hybrid", "MiDaS_small", "MiDaS"])
     ap.add_argument("--dtypes", nargs="*", default=["float32", "bfloat16"])
     ap.add_argument("--hw", type=int, nargs=2, default=(384, 384))
     ap.add_argument("--peak-tflops", type=float, default=197.0,

@@ -57,7 +57,7 @@ def main():
 
     from depth_estimation_tpu.estimator import DepthEstimator
 
-    for name in ("MiDaS_small", "DPT_Large", "DPT_Hybrid"):
+    for name in ("MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"):
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             est = DepthEstimator(name, verbose=False)

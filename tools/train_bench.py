@@ -33,7 +33,7 @@ sys.path.insert(0, ".")  # run from the repo root
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="DPT_Large",
-                    choices=("MiDaS_small", "DPT_Large", "DPT_Hybrid"))
+                    choices=("MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"))
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--hw", type=int, nargs=2, default=(384, 384))
     ap.add_argument("--remat", action="store_true",
