@@ -68,6 +68,17 @@ SMALL_PREPROCESS = PreprocessConfig(
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
 )
+# The hub's third transform (its own pairing for "MiDaS" v2.1 Large):
+# 384 upper_bound, ImageNet stats. The REFERENCE never selects it — its
+# non-DPT branch picks small_transform (depth_midas.py:13-16, PARITY #8b) —
+# but the surface is exposed for hub-compat (transforms.default_transform).
+DEFAULT_PREPROCESS = PreprocessConfig(
+    target_height=384,
+    target_width=384,
+    resize_method="upper_bound",
+    mean=(0.485, 0.456, 0.406),
+    std=(0.229, 0.224, 0.225),
+)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from depth_estimation_tpu.config import DPT_PREPROCESS, SMALL_PREPROCESS
+from depth_estimation_tpu.config import (
+    DEFAULT_PREPROCESS,
+    DPT_PREPROCESS,
+    SMALL_PREPROCESS,
+)
 from depth_estimation_tpu.ops.preprocess import preprocess
 
 
@@ -36,3 +40,11 @@ def dpt_transform(img):
 def small_transform(img):
     """256 'upper_bound' resize, ImageNet stats (MiDaS_small input)."""
     return preprocess(_as_u8(img), SMALL_PREPROCESS, bgr_to_rgb=False)
+
+
+def default_transform(img):
+    """384 'upper_bound' resize, ImageNet stats — the hub's own pairing for
+    the v2.1 "MiDaS" model. The reference never reaches it (its non-DPT
+    branch selects small_transform, depth_midas.py:13-16; docs/PARITY.md #8b),
+    so it is exposed only for hub-surface compatibility."""
+    return preprocess(_as_u8(img), DEFAULT_PREPROCESS, bgr_to_rgb=False)

@@ -4,7 +4,12 @@ oracle that replicates the MiDaS hub transforms (cv2 float cubic resize)."""
 import numpy as np
 import pytest
 
-from depth_estimation_tpu.config import DPT_PREPROCESS, SMALL_PREPROCESS, PreprocessConfig
+from depth_estimation_tpu.config import (
+    DEFAULT_PREPROCESS,
+    DPT_PREPROCESS,
+    SMALL_PREPROCESS,
+    PreprocessConfig,
+)
 from depth_estimation_tpu.ops.preprocess import compute_resize_shape, preprocess
 
 
@@ -20,6 +25,9 @@ from depth_estimation_tpu.ops.preprocess import compute_resize_shape, preprocess
         ((480, 640), SMALL_PREPROCESS, (192, 256)),
         ((256, 256), SMALL_PREPROCESS, (256, 256)),
         ((720, 1280), SMALL_PREPROCESS, (128, 256)),
+        # default_transform: 384 'upper_bound' — both sides <= 384
+        ((480, 640), DEFAULT_PREPROCESS, (288, 384)),
+        ((384, 384), DEFAULT_PREPROCESS, (384, 384)),
     ],
 )
 def test_resize_shape_policy(hw, cfg, expected):
@@ -39,7 +47,7 @@ def _oracle(img_bgr_u8, cfg):
     return (resized - mean) / std
 
 
-@pytest.mark.parametrize("cfg", [DPT_PREPROCESS, SMALL_PREPROCESS])
+@pytest.mark.parametrize("cfg", [DPT_PREPROCESS, SMALL_PREPROCESS, DEFAULT_PREPROCESS])
 @pytest.mark.parametrize("hw", [(480, 640), (240, 320)])
 def test_preprocess_matches_oracle(rng, cfg, hw):
     img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
@@ -69,3 +77,7 @@ def test_transforms_shim_matches_preprocess(rng):
     out_f = np.asarray(transforms.small_transform(rgb_u8.astype(np.float32) / 255.0))
     ref_f = np.asarray(preprocess(rgb_u8, SMALL_PREPROCESS, bgr_to_rgb=False))
     np.testing.assert_allclose(out_f, ref_f, atol=1e-5)
+    # the hub's third transform (never selected by the reference, PARITY #8b)
+    out_d = np.asarray(transforms.default_transform(rgb_u8))
+    ref_d = np.asarray(preprocess(rgb_u8, DEFAULT_PREPROCESS, bgr_to_rgb=False))
+    np.testing.assert_array_equal(out_d, ref_d)

@@ -106,6 +106,11 @@ def main():
     ap.add_argument("--models", nargs="*", default=["MiDaS_small", "MiDaS", "DPT_Large", "DPT_Hybrid"])
     args = ap.parse_args()
 
+    import sys as _sys
+    _sys.path.insert(0, ".")
+    from depth_estimation_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
+
     import jax
 
     print(f"backend: {jax.default_backend()}")

@@ -41,6 +41,11 @@ def main():
                     "backward recomputes block activations instead of "
                     "storing them")
     args = ap.parse_args()
+
+    import sys as _sys
+    _sys.path.insert(0, ".")
+    from depth_estimation_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
     h, w = args.hw
     if h % 32 or w % 32:
         ap.error(f"--hw must be multiples of 32 (got {h}x{w})")
