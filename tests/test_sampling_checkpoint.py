@@ -118,3 +118,55 @@ def test_import_torch_checkpoint_cli(tmp_path, monkeypatch):
     )[0, 0].numpy()
     scale = np.abs(pred).max() + 1e-8
     np.testing.assert_allclose(out / scale, pred / scale, atol=2e-4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DEPTH_TPU_REHEARSAL"),
+    reason="full-size 105M-param .pt rehearsal is opt-in (DEPTH_TPU_REHEARSAL=1)",
+)
+def test_import_torch_checkpoint_cli_midas_v21(tmp_path, monkeypatch):
+    """Drop-day rehearsal for the v2.1 'MiDaS' hub file at REAL size:
+    torch.save'd full-scale state dict → import_weights CLI → orbax cache →
+    DepthEstimator auto-load → prediction matches the torch oracle.
+    (CI covers the same converter at tiny scale in test_midas_v21.py.)"""
+    import torch
+
+    monkeypatch.setenv("DEPTH_ESTIMATION_TPU_CACHE", str(tmp_path))
+    from tests.oracles import midas_v21_torch as oracle
+
+    sd = oracle.make_random_state_dict(seed=17)
+    pt = tmp_path / "model-f6b98070.pt"  # real hub filename for MiDaS v2.1
+    torch.save(sd, pt)
+
+    from depth_estimation_tpu.tools.import_weights import main
+
+    assert main([str(pt), "MiDaS"]) == 0
+
+    import warnings
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any random-init warning -> failure
+        est = DepthEstimator("MiDaS", verbose=False)
+    img = np.random.default_rng(0).integers(0, 256, (96, 128, 3), np.uint8)
+    out = est.predict(img)
+    assert out.shape == (96, 128)
+
+    import cv2
+    import torch as _t
+
+    rgb = img[..., ::-1].astype(np.float32) / 255.0
+    from depth_estimation_tpu.ops.preprocess import compute_resize_shape
+
+    nh, nw = compute_resize_shape(96, 128, est.preprocess_cfg)
+    resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_CUBIC)
+    mean = np.asarray(est.preprocess_cfg.mean, np.float32)
+    std = np.asarray(est.preprocess_cfg.std, np.float32)
+    x = ((resized - mean) / std).transpose(2, 0, 1)[None]
+    pred = oracle.forward(sd, _t.from_numpy(x))
+    pred = _t.nn.functional.interpolate(
+        pred[None], size=(96, 128), mode="bicubic", align_corners=False
+    )[0, 0].numpy()
+    scale = np.abs(pred).max() + 1e-8
+    np.testing.assert_allclose(out / scale, pred / scale, atol=2e-4)
