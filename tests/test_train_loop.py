@@ -55,3 +55,18 @@ def test_fit_sharded_over_mesh():
         state, hist = fit(model.apply, params, data, steps=10, lr=1e-3, alpha=0.0,
                           mesh=mesh, verbose=False)
     assert np.isfinite(hist[-1][1])
+
+
+def test_fit_midas_v21_tiny():
+    """The new v2.1 family is trainable: a tiny-config MidasV21 (frozen-BN
+    params get gradients like any other leaf) reduces SSI loss under fit()."""
+    from depth_estimation_tpu.models.midas_v21 import MidasV21
+    from tests.test_midas_v21 import TINY
+
+    model = MidasV21(TINY)
+    data = synthetic_depth_dataset(batch=2, hw=(64, 64), n_batches=2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data[0][0])
+    state, hist = fit(model.apply, params, data, steps=30, lr=3e-3, alpha=0.0, verbose=False)
+    first, last = hist[0][1], hist[-1][1]
+    assert np.isfinite(last)
+    assert last < first * 0.9, (first, last)
