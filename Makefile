@@ -2,8 +2,9 @@
 #
 # `make test` is the fast CI suite (CPU, 8 virtual devices via conftest).
 # `make gate-cpu` is the opt-in FULL-SCALE accuracy gate: full-dimension
-# MiDaS-small / DPT-Large / DPT-Hybrid forwards vs the torch oracles on the
-# CPU backend (slow — tens of minutes; run before perf/precision changes).
+# MiDaS-small / MiDaS (v2.1 Large) / DPT-Large / DPT-Hybrid forwards vs the
+# torch oracles on the CPU backend (slow — tens of minutes; run before
+# perf/precision changes).
 # `make gate-tpu` runs the same gate on the real chip (the numbers that
 # actually matter for the 1e-3 threshold; needs the axon TPU).
 
