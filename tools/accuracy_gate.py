@@ -18,61 +18,53 @@ import warnings
 import numpy as np
 
 
-def gate_midas_small(threshold):
+def _gate(entry_name, make_model, convert, oracle, seed, hw):
+    """Shared gate body: full-scale random hub weights → converted Flax model
+    at the registry's f32 precision vs the torch oracle; max abs-rel error."""
     import jax
     import torch
 
+    sys.path.insert(0, ".")
+    from depth_estimation_tpu.registry import get_entry
+
+    prec = get_entry(entry_name).f32_precision
+    sd = oracle.make_random_state_dict(seed=seed)
+    params = {"params": convert({k: v.numpy() for k, v in sd.items()})}
+    x = np.random.default_rng(0).standard_normal((1, *hw, 3)).astype(np.float32) * 0.5
+    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    m = make_model()
+
+    @jax.jit
+    def fwd(p, x):
+        with jax.default_matmul_precision(prec):
+            return m.apply(p, x)
+
+    out = np.asarray(fwd(params, x))
+    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+
+
+def gate_midas_small():
     sys.path.insert(0, ".")
     from depth_estimation_tpu.models.midas_small import MidasSmall
     from depth_estimation_tpu.utils.convert import convert_midas_small
     from tests.oracles import midas_small_torch as oracle
 
-    from depth_estimation_tpu.registry import get_entry
-
-    prec = get_entry("MiDaS_small").f32_precision
-    sd = oracle.make_random_state_dict(seed=11)
-    params = {"params": convert_midas_small({k: v.numpy() for k, v in sd.items()})}
-    x = np.random.default_rng(0).standard_normal((1, 256, 256, 3)).astype(np.float32) * 0.5
-    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
-    m = MidasSmall()
-
-    @jax.jit
-    def fwd(p, x):
-        with jax.default_matmul_precision(prec):
-            return m.apply(p, x)
-
-    out = np.asarray(fwd(params, x))
-    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+    return _gate("MiDaS_small", MidasSmall, convert_midas_small, oracle,
+                 seed=11, hw=(256, 256))
 
 
-def gate_midas_v21(threshold):
-    import jax
-    import torch
-
+def gate_midas_v21():
     sys.path.insert(0, ".")
     from depth_estimation_tpu.models.midas_v21 import MidasV21
-    from depth_estimation_tpu.registry import get_entry
     from depth_estimation_tpu.utils.convert import convert_midas_v21
     from tests.oracles import midas_v21_torch as oracle
 
-    prec = get_entry("MiDaS").f32_precision
-    sd = oracle.make_random_state_dict(seed=13)
-    params = {"params": convert_midas_v21({k: v.numpy() for k, v in sd.items()})}
     # small_transform bucket (the reference's non-DPT branch): 256 upper_bound
-    x = np.random.default_rng(0).standard_normal((1, 256, 256, 3)).astype(np.float32) * 0.5
-    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
-    m = MidasV21()
-
-    @jax.jit
-    def fwd(p, x):
-        with jax.default_matmul_precision(prec):
-            return m.apply(p, x)
-
-    out = np.asarray(fwd(params, x))
-    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8))
+    return _gate("MiDaS", MidasV21, convert_midas_v21, oracle,
+                 seed=13, hw=(256, 256))
 
 
-def gate_dpt(cfg_name, threshold):
+def gate_dpt(cfg_name):
     import jax
     import torch
 
@@ -120,11 +112,11 @@ def main():
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             if name == "MiDaS_small":
-                err = gate_midas_small(args.threshold)
+                err = gate_midas_small()
             elif name == "MiDaS":
-                err = gate_midas_v21(args.threshold)
+                err = gate_midas_v21()
             else:
-                err = gate_dpt(name, args.threshold)
+                err = gate_dpt(name)
         status = "PASS" if err < args.threshold else "FAIL"
         ok &= err < args.threshold
         print(f"{name}: max abs-rel {err:.2e} vs torch oracle -> {status} ({time.time()-t0:.0f}s)")

@@ -71,8 +71,6 @@ def main():
                     help="HBM bandwidth GB/s (v5e: 819)")
     args = ap.parse_args()
 
-    import sys as _sys
-    _sys.path.insert(0, ".")
     from depth_estimation_tpu.utils.platform import apply_platform_env
     apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
     for model in args.models:
