@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""A/B: XLA's grouped-conv lowering at MiDaS v2.1 (ResNeXt 32x8d) shapes.
+
+The v2.1 encoder's 3x3 conv2s contract only width/32 = 8 channels per group
+(models/midas_v21.py) — a poor MXU fill in the contracting dimension if XLA
+maps each group to its own matmul. This tool measures, on the current
+backend, each layer's grouped conv against a dense conv of the same tensor
+shape (groups=1 — 32x the FLOPs at perfect fill: if grouped measures CLOSE
+TO OR ABOVE dense, XLA's grouped lowering is wasting the MXU and a custom
+mapping would pay; if grouped sits well below dense/32-adjusted bounds, the
+shipped model is fine). Context row: the full shipped "MiDaS" frame program.
+
+Timing: salted fori_loop slope method (utils/benchmark.py — the only
+trustworthy method through the tunneled chip).
+
+Usage: python tools/grouped_conv_ab.py [--dtype float32|bfloat16]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+# (layer, H=W at the 256-bucket input, width, groups) of full MidasV21
+V21_CONV2_SHAPES = [
+    ("layer1", 64, 256, 32),
+    ("layer2", 32, 512, 32),
+    ("layer3", 16, 1024, 32),
+    ("layer4", 8, 2048, 32),
+]
+
+
+def conv_ms(hw, width, groups, dtype, precision):
+    """Slope-timed ms of one 3x3 conv (B=1, NHWC) with the given grouping."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.utils.benchmark import salted_loop, slope_time_ms
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, hw, hw, width)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (3, 3, width // groups, width)).astype(np.float32) * 0.05).astype(dtype)
+
+    def step(i, salt, x, w):
+        with jax.default_matmul_precision(precision):
+            xi = x + (salt + i.astype(jnp.float32)).astype(dtype) * 1e-6
+            y = jax.lax.conv_general_dilated(
+                xi, w, (1, 1), "SAME",
+                feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y.mean().astype(jnp.float32)
+
+    return slope_time_ms(salted_loop(step), (x, w), n1=16, n2=48)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    from depth_estimation_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    precision = "high" if args.dtype == "float32" else "default"
+    print(f"backend: {jax.default_backend()}  dtype: {args.dtype}")
+
+    total_grouped = total_dense = 0.0
+    for name, hw, width, groups in V21_CONV2_SHAPES:
+        g = conv_ms(hw, width, groups, dtype, precision)
+        d = conv_ms(hw, width, 1, dtype, precision)
+        total_grouped += g
+        total_dense += d
+        flops_g = 2 * hw * hw * 9 * (width // groups) * width
+        print(f"{name}: {hw}x{hw}x{width} g={groups}: grouped {g:.3f} ms, "
+              f"dense {d:.3f} ms (32x flops) — grouped runs at "
+              f"{flops_g / (g * 1e9):.2f} TFLOP/s effective")
+    print(f"sum over one conv2 per layer: grouped {total_grouped:.3f} ms, "
+          f"dense {total_dense:.3f} ms")
+
+    # context: the full shipped frame program (33 bottlenecks -> ~33 conv2s)
+    import warnings
+
+    from depth_estimation_tpu.utils.benchmark import onchip_frame_ms
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from depth_estimation_tpu.estimator import DepthEstimator
+
+        est = DepthEstimator("MiDaS", verbose=False, dtype=args.dtype)
+    img = np.random.default_rng(2).integers(0, 256, (256, 256, 3), np.uint8)
+    ms = onchip_frame_ms(est, img)
+    print(f"full MiDaS v2.1 frame program (256x256 source): {ms:.2f} ms/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
