@@ -214,6 +214,7 @@ def _loop(args, video, writer, detector, runner, estimator, f, head_measurements
                 head_w_mm = median(head_measurements)
                 for box in bboxes:
                     w_pix_box = box["bbox"][2]
+                    print(box["bbox"])  # reference: depth_by_detection.py:263
                     if w_pix_box <= 0:
                         continue
                     s2c_d = cm_to_ft(s2c_dist(f, w_object=head_w_mm, w_pix=w_pix_box) / 10)
