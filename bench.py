@@ -349,6 +349,26 @@ def main():
 
     apply_platform_env()
 
+    # Fail fast when the axon tunnel is unreachable: backend init otherwise
+    # retries inside jax for 20+ minutes (observed when the tunnel dropped
+    # mid-round-3), which would stall the driver's bench run. The init blocks
+    # in native grpc code where SIGALRM's Python handler can't run, so the
+    # probe runs in a killable subprocess; a clean non-zero exit beats a
+    # silent hang. DEPTH_TPU_PLATFORM=cpu (and the cpu-worker) skip it.
+    if not args.cpu_worker and os.environ.get("DEPTH_TPU_PLATFORM", "") != "cpu":
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, check=True, cwd=str(REPO),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("bench: backend init probe failed (TPU tunnel unreachable); "
+                  "no measurement possible", file=sys.stderr)
+            return 3
+
     if args.pipeline == "fused":
         return bench_fused(args)
     if args.pipeline == "detection":
@@ -423,4 +443,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
