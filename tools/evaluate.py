@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Dataset evaluation: standard depth metrics for any registry model.
+
+Scores a model over (image, disparity) pairs with the zero-shot MiDaS
+protocol (per-image lstsq scale+shift alignment in disparity space, then
+abs_rel / sq_rel / rmse / rmse_log / log10 / δ<1.25^k in depth space —
+train/metrics.py). The reference has no dataset evaluation (its only
+metrics are the streaming HUD's distance RMSE/MAE, face.py:141-153).
+
+Data: a directory of .npz files with ``image`` (H, W, 3) uint8 and
+``disparity`` (H, W) float32 (train/data.py's storage format), or
+``--synthetic N`` for a self-contained smoke run. The preprocess is fused
+into the forward (make_training_apply) so each eval batch is one XLA
+program from raw u8 to disparity.
+
+Usage:
+  python tools/evaluate.py --data <npz_dir> --model-type MiDaS_small
+  python tools/evaluate.py --synthetic 16 --model-type MiDaS_small
+Prints one JSON line of image-weighted mean metrics.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import warnings
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--data", help="directory of .npz (image, disparity) pairs")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="evaluate on N synthetic pairs instead of --data")
+    ap.add_argument("--hw", type=int, nargs=2, default=(192, 256), metavar=("H", "W"),
+                    help="synthetic pair size")
+    ap.add_argument("--model-type", default="MiDaS_small")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--no-align", action="store_true",
+                    help="score raw predictions (metric-calibrated models)")
+    args = ap.parse_args()
+    if not args.data and not args.synthetic:
+        ap.error("one of --data / --synthetic is required")
+
+    from depth_estimation_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+
+    from depth_estimation_tpu.estimator import DepthEstimator
+    from depth_estimation_tpu.train.data import (
+        iter_npz_dir,
+        make_training_apply,
+        synthetic_pairs,
+    )
+    from depth_estimation_tpu.train.metrics import evaluate_pairs
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-init warning is fine offline
+        est = DepthEstimator(args.model_type, verbose=False)
+
+    fused_apply = make_training_apply(est.model, est.preprocess_cfg)
+    precision = est.matmul_precision
+
+    @jax.jit
+    def fwd(params, imgs_u8):
+        with jax.default_matmul_precision(precision):
+            return fused_apply(params, imgs_u8)
+
+    pairs = (synthetic_pairs(args.synthetic, *args.hw) if args.synthetic
+             else iter_npz_dir(args.data))
+    result = evaluate_pairs(
+        functools.partial(fwd, est.params), pairs,
+        batch=args.batch, align=not args.no_align,
+    )
+    print(json.dumps({"model_type": args.model_type,
+                      "aligned": not args.no_align, **result}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
