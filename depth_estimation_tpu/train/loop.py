@@ -37,11 +37,18 @@ def fit(
     ckpt_every: int = 100,
     log_every: int = 10,
     verbose: bool = True,
+    eval_data: Optional[Iterable[Tuple[np.ndarray, np.ndarray]]] = None,
+    eval_every: int = 100,
 ) -> Tuple[TrainState, list]:
     """Run ``steps`` optimizer steps over ``data`` (iterable of (images, gt)).
 
     Resumes from ``ckpt_dir`` if a checkpoint exists there. Returns the
     final state and the per-log loss history.
+
+    ``eval_data`` (a re-iterable of (images, gt) batches) scores the
+    current params every ``eval_every`` steps and at the end with the
+    standard depth metrics (train/metrics.py, aligned protocol); results
+    land in the history as ``(step, loss, metrics_dict)`` tuples.
     """
     tx = make_optimizer(lr=lr)
     state = init_state(params, tx, mesh=mesh)
@@ -55,6 +62,25 @@ def fit(
 
     step_fn = make_train_step(model_apply, tx, alpha=alpha, donate=False,
                               accum_steps=accum_steps)
+
+    eval_metrics_fn = None
+    if eval_data is not None:
+        from depth_estimation_tpu.train.metrics import depth_metrics
+
+        eval_metrics_fn = jax.jit(
+            lambda p, imgs, gt: depth_metrics(model_apply(p, imgs), gt, align=True)
+        )
+
+    def run_eval(params_now):
+        sums, n = {}, 0
+        for imgs, gt in eval_data:
+            m = jax.device_get(eval_metrics_fn(params_now, imgs, gt))
+            k = len(imgs)
+            for key, v in m.items():
+                sums[key] = sums.get(key, 0.0) + float(v) * k
+            n += k
+        return {key: v / max(n, 1) for key, v in sums.items()}
+
     it: Iterator = iter(data)
     history = []
     start = int(state.step)
@@ -79,6 +105,12 @@ def fit(
             history.append((i + 1, loss_v))
             if verbose:
                 print(f"step {i + 1}/{steps} loss {loss_v:.5f}")
+        if eval_metrics_fn is not None and ((i + 1) % eval_every == 0 or i + 1 == steps):
+            m = run_eval(state.params)
+            history.append((i + 1, float(loss), m))
+            if verbose:
+                print(f"step {i + 1}/{steps} eval abs_rel {m['abs_rel']:.4f} "
+                      f"d1 {m['d1']:.3f} rmse {m['rmse']:.4f}")
         if ckpt_path is not None and (i + 1) % ckpt_every == 0:
             save_train_state(ckpt_path, jax.tree_util.tree_map(np.asarray, state))
     if ckpt_path is not None:

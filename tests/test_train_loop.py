@@ -70,3 +70,21 @@ def test_fit_midas_v21_tiny():
     first, last = hist[0][1], hist[-1][1]
     assert np.isfinite(last)
     assert last < first * 0.9, (first, last)
+
+
+def test_fit_with_periodic_eval():
+    """eval_data scores the params with the aligned depth metrics during
+    training; history carries (step, loss, metrics) tuples."""
+    model = _SmallDepthNet()
+    data = synthetic_depth_dataset(batch=4, hw=(32, 32), n_batches=4)
+    eval_data = synthetic_depth_dataset(batch=4, hw=(32, 32), n_batches=2, seed=9)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data[0][0])
+    state, hist = fit(model.apply, params, data, steps=40, lr=3e-3, alpha=0.0,
+                      verbose=False, eval_data=eval_data, eval_every=20)
+    evals = [h for h in hist if len(h) == 3]
+    assert len(evals) == 2  # steps 20 and 40
+    for step, loss, m in evals:
+        assert set(m) >= {"abs_rel", "rmse", "d1"}
+        assert np.isfinite(m["abs_rel"]) and 0.0 <= m["d1"] <= 1.0
+    # training should not make the aligned metric worse start -> end
+    assert evals[-1][2]["abs_rel"] <= evals[0][2]["abs_rel"] * 1.5
