@@ -1,9 +1,8 @@
-#!/usr/bin/env python
-"""Dataset evaluation: standard depth metrics for any registry model.
+"""Console entry: dataset evaluation with the standard depth metrics.
 
-Scores a model over (image, disparity) pairs with the zero-shot MiDaS
-protocol (per-image lstsq scale+shift alignment in disparity space, then
-abs_rel / sq_rel / rmse / rmse_log / log10 / δ<1.25^k in depth space —
+Scores any registry model over (image, disparity) pairs with the zero-shot
+MiDaS protocol (per-image lstsq scale+shift alignment in disparity space,
+then abs_rel / sq_rel / rmse / rmse_log / log10 / δ<1.25^k in depth space —
 train/metrics.py). The reference has no dataset evaluation (its only
 metrics are the streaming HUD's distance RMSE/MAE, face.py:141-153).
 
@@ -13,22 +12,22 @@ Data: a directory of .npz files with ``image`` (H, W, 3) uint8 and
 into the forward (make_training_apply) so each eval batch is one XLA
 program from raw u8 to disparity.
 
-Usage:
-  python tools/evaluate.py --data <npz_dir> --model-type MiDaS_small
-  python tools/evaluate.py --synthetic 16 --model-type MiDaS_small
-Prints one JSON line of image-weighted mean metrics.
+`depth-evaluate --data <npz_dir>` after install, or
+`python -m depth_estimation_tpu.tools.evaluate`. Prints one JSON line of
+image-weighted mean metrics.
 """
+
+from __future__ import annotations
 
 import argparse
 import functools
 import json
-import sys
 import warnings
 
-sys.path.insert(0, ".")
+from depth_estimation_tpu.utils.platform import apply_platform_env
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--data", help="directory of .npz (image, disparity) pairs")
     ap.add_argument("--synthetic", type=int, default=0,
@@ -39,13 +38,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-align", action="store_true",
                     help="score raw predictions (metric-calibrated models)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if not args.data and not args.synthetic:
         ap.error("one of --data / --synthetic is required")
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
-
-    apply_platform_env()
+    apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
 
     import jax
 
