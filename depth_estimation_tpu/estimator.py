@@ -228,6 +228,30 @@ class DepthEstimator:
         img_rep = jax.device_put(np.asarray(img), NamedSharding(mesh, P()))
         return np.asarray(fn(params, img_rep))
 
+    def predict_spatial(self, img: np.ndarray, mesh, axis: str = "tp") -> np.ndarray:
+        """Single-frame inference SPATIALLY partitioned over ``axis``: the
+        source frame's rows are sharded across the mesh axis and GSPMD
+        propagates that sharding through the whole frame program, inserting
+        the halo exchanges each conv needs at shard edges (and collective
+        matmuls for the resize contractions). This is the latency analogue
+        of predict_sharded for the CONV families (MiDaS_small, the v2.1
+        "MiDaS"), which have no transformer matmuls to tensor-parallelize;
+        it works for any registry model. Params stay replicated — spatial
+        partitioning pays in the regime where activation bytes, not
+        weights, dominate (large source resolutions). The source height
+        must divide by the axis size (jax sharding constraint)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if img.shape[0] % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"source height {img.shape[0]} not divisible by mesh axis "
+                f"{axis!r} of size {mesh.shape[axis]}"
+            )
+        params = self._params_for_mesh(mesh, tensor_parallel=False)
+        fn = self.frame_fn(img.shape[:2])
+        img_sh = jax.device_put(np.asarray(img), NamedSharding(mesh, P(axis)))
+        return np.asarray(fn(params, img_sh))
+
     def _batched_fn(self, in_hw: Tuple[int, int], output: str = "f32"):
         # cached per instance (lru_cache on a method would pin `self` — and
         # its full param tree — in a class-level cache for the process life)
