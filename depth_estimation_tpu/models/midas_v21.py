@@ -32,12 +32,62 @@ import dataclasses
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from depth_estimation_tpu.models.layers import FrozenBatchNorm
 from depth_estimation_tpu.models.midas_small import ResidualConvUnit, _upsample2x
 
 BN_EPS = 1e-5  # torchvision ResNet default (vs 1e-3 in the tf_ encoders)
+
+
+class BlockDiagGroupedConv(nn.Module):
+    """Grouped 3x3 conv computed as ONE dense conv with a block-diagonal kernel.
+
+    XLA's grouped-conv lowering maps each ResNeXt 32x8d group (8 in / 8 out
+    channels) to its own tiny matmul and the MXU runs at 0.04-0.22 TFLOP/s
+    effective at layer1/layer2 shapes — a dense conv doing 32x the FLOPs at
+    full MXU fill measures 8-28x FASTER (tools/grouped_conv_ab.py, real chip;
+    BASELINE.md round 3). This module keeps the PARAM exactly as nn.Conv's
+    grouped kernel (path ``<name>/kernel``, shape (3, 3, C/G, C) — converter,
+    checkpoints, and goldens unchanged) and expands it to the equivalent
+    (3, 3, C, C) block-diagonal kernel at trace time. The off-block entries
+    are exact zeros, so the result is numerically identical to the grouped
+    conv for finite inputs (0-contributions are exact in every precision);
+    the expansion itself is a broadcast-multiply XLA fuses into the weight
+    load (~2.4-9.4 MB/block at v2.1 shapes — sub-0.1 ms total vs ~13 ms saved).
+    """
+
+    width: int
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.groups
+        cg_in = self.width // g  # per-group input channels (kernel I dim)
+        cg_out = self.width // g  # per-group output channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cg_in, self.width),
+            jnp.float32,
+        )
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        # XLA feature_group_count semantics: output features split into G
+        # contiguous blocks; block i reads input block i. Dense equivalent:
+        # D[h, w, gi*cg+ci, go*cgo+co] = K[h, w, ci, go*cgo+co] iff gi == go.
+        k = kernel.astype(dtype).reshape(3, 3, cg_in, g, cg_out)
+        eye = jnp.eye(g, dtype=dtype)
+        dense = eye[None, None, :, None, :, None] * k[:, :, None, :, :, :]
+        dense = dense.reshape(3, 3, g * cg_in, g * cg_out)
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            dense,
+            self.strides,
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +104,13 @@ class MidasV21Config:
     head_features: int = 128
     head_mid: int = 32
     non_negative: bool = True
+    # Per-layer block-diagonal densification of the grouped conv2s (see
+    # BlockDiagGroupedConv). Defaults measured on the real chip
+    # (tools/grouped_conv_ab.py, BASELINE.md): dense wins 28x/8x/~wash/loses
+    # at layer1/2/3/4 — layer3's slope-timed win evaporates in the full
+    # program (23 blocks x 37.7 MB dense kernels stream from HBM instead of
+    # staying VMEM-resident) and layer4's grouped conv is latency-hidden.
+    dense_conv2: Tuple[bool, bool, bool, bool] = (True, True, False, False)
 
     def width(self, planes: int) -> int:
         """Grouped-conv width of a bottleneck (torchvision formula)."""
@@ -71,6 +128,7 @@ class ResNeXtBottleneck(nn.Module):
     strides: int = 1
     groups: int = 32
     downsample: bool = False
+    dense_conv2: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,8 +141,13 @@ class ResNeXtBottleneck(nn.Module):
             sc = x
         h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
         h = nn.relu(FrozenBatchNorm(self.width, eps=BN_EPS, name="bn1")(h))
-        h = nn.Conv(self.width, (3, 3), strides=s, padding=((1, 1), (1, 1)),
-                    feature_group_count=self.groups, use_bias=False, name="conv2")(h)
+        if self.dense_conv2:
+            h = BlockDiagGroupedConv(self.width, self.groups, strides=s,
+                                     name="conv2")(h)
+        else:
+            h = nn.Conv(self.width, (3, 3), strides=s, padding=((1, 1), (1, 1)),
+                        feature_group_count=self.groups, use_bias=False,
+                        name="conv2")(h)
         h = nn.relu(FrozenBatchNorm(self.width, eps=BN_EPS, name="bn2")(h))
         h = nn.Conv(self.out_features, (1, 1), use_bias=False, name="conv3")(h)
         h = FrozenBatchNorm(self.out_features, eps=BN_EPS, name="bn3")(h)
@@ -112,7 +175,8 @@ class ResNeXt(nn.Module):
                 stride = 2 if (li > 1 and bi == 0) else 1
                 x = ResNeXtBottleneck(
                     width, out_c, strides=stride, groups=cfg.groups,
-                    downsample=(bi == 0), name=f"layer{li}_block{bi}",
+                    downsample=(bi == 0), dense_conv2=cfg.dense_conv2[li - 1],
+                    name=f"layer{li}_block{bi}",
                 )(x)
             feats[f"layer{li}"] = x
         return feats
