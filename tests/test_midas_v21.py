@@ -84,3 +84,23 @@ def test_registry_entry():
     model = entry.make_model()
     assert isinstance(model, MidasV21)
     assert model.cfg.depths == (3, 4, 23, 3) and model.cfg.features == 256
+
+
+def test_dense_conv2_matches_grouped(sd, flax_params, rng):
+    """The block-diagonal MXU rewrite (BlockDiagGroupedConv) is numerically
+    a reassociation of the grouped conv: same params (tree identical — the
+    default-config goldens above already prove the dense path against the
+    torch oracle), outputs equal to accumulation-order noise. Guards the
+    shipped default (dense_conv2 at layer1/2) against regressions in the
+    expansion indexing."""
+    import dataclasses
+
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    outs = {}
+    for name, dc in [("grouped", (False,) * 4), ("dense", (True,) * 4)]:
+        cfg = dataclasses.replace(TINY, dense_conv2=dc)
+        outs[name] = np.asarray(jax.jit(MidasV21(cfg).apply)(flax_params, x))
+    scale = np.abs(outs["grouped"]).max() + 1e-8
+    np.testing.assert_allclose(
+        outs["dense"] / scale, outs["grouped"] / scale, atol=1e-5
+    )

@@ -57,9 +57,55 @@ def conv_ms(hw, width, groups, dtype, precision):
     return slope_time_ms(salted_loop(step), (x, w), n1=16, n2=48)
 
 
+def model_variants_ms(dtype_name):
+    """Full-scale MidasV21 forward (256², slope method) per conv2 policy —
+    the FULL-PROGRAM numbers the shipped dense_conv2 default is set by
+    (the single-conv rows above overstate layer3: a loop-invariant dense
+    kernel stays VMEM-resident there, but 23 distinct 37.7 MB kernels
+    stream from HBM in the real model)."""
+    import dataclasses
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.utils.benchmark import salted_loop, slope_time_ms
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from depth_estimation_tpu.models.midas_v21 import MIDAS_V21, MidasV21
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    precision = "high" if dtype_name == "float32" else "default"
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 256, 256, 3)).astype(np.float32)).astype(dtype)
+    variants = [
+        ("grouped", (False,) * 4),
+        ("dense layer1+2 (default)", (True, True, False, False)),
+        ("dense layer1+2+3", (True, True, True, False)),
+    ]
+    params = None
+    for name, dc in variants:
+        m = MidasV21(dataclasses.replace(MIDAS_V21, dense_conv2=dc))
+        if params is None:
+            params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+            params = jax.tree.map(lambda a: a.astype(dtype), params)
+
+        def step(i, salt, p, xx, m=m):
+            with jax.default_matmul_precision(precision):
+                xi = xx + (salt + i.astype(jnp.float32)).astype(dtype) * 1e-6
+                return m.apply(p, xi).mean().astype(jnp.float32)
+
+        ms = slope_time_ms(salted_loop(step), (params, x), n1=8, n2=24)
+        print(f"model forward [{name}]: {ms:.2f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--variants", action="store_true",
+                    help="also time the full model per conv2 densification "
+                         "policy (grouped / dense12 / dense123)")
     args = ap.parse_args()
 
     from depth_estimation_tpu.utils.platform import apply_platform_env
@@ -85,6 +131,9 @@ def main():
               f"{flops_g / (g * 1e9):.2f} TFLOP/s effective")
     print(f"sum over one conv2 per layer: grouped {total_grouped:.3f} ms, "
           f"dense {total_dense:.3f} ms")
+
+    if args.variants:
+        model_variants_ms(args.dtype)
 
     # context: the full shipped frame program (33 bottlenecks -> ~33 conv2s)
     import warnings
