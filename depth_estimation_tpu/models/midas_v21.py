@@ -90,6 +90,50 @@ class BlockDiagGroupedConv(nn.Module):
         )
 
 
+class BatchedMatmulGroupedConv(nn.Module):
+    """Grouped 3x3 conv as an im2col batched matmul (group = batch dim).
+
+    Third lowering option for the ResNeXt conv2s: extract 3x3 patches once,
+    then one dot_general with the group as a batch dimension —
+    (G, HW, 9·Cg) × (G, 9·Cg, Cg) — so no zero-padded dense kernel streams
+    from HBM (the cost that sinks block-diagonal densification at layer3's
+    23×37.7 MB, BASELINE.md round 3). Param identical to nn.Conv's grouped
+    kernel, same as BlockDiagGroupedConv. Numerics: pure reassociation of
+    the same products (im2col + matmul), parity-tested against the grouped
+    path in tests/test_midas_v21.py.
+    """
+
+    width: int
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.groups
+        cg = self.width // g
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cg, self.width),
+            jnp.float32,
+        )
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        b, h, w_sp, _ = x.shape
+        # (B, H', W', C*9) with channel dim ordered (C, KH, KW)
+        p = jax.lax.conv_general_dilated_patches(
+            x.astype(dtype), (3, 3), self.strides, [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ho, wo = p.shape[1], p.shape[2]
+        p = p.reshape(b * ho * wo, g, cg, 9)
+        p = p.transpose(1, 0, 2, 3).reshape(g, b * ho * wo, cg * 9)
+        # kernel (3,3,cg,width): output o = go*cg + co -> (G, cg*9, cg)
+        wk = kernel.astype(dtype).reshape(3, 3, cg, g, cg)
+        wk = wk.transpose(3, 2, 0, 1, 4).reshape(g, cg * 9, cg)
+        y = jax.lax.dot_general(p, wk, (((2,), (1,)), ((0,), (0,))))
+        y = y.transpose(1, 0, 2).reshape(b, ho, wo, self.width)
+        return y
+
+
 @dataclasses.dataclass(frozen=True)
 class MidasV21Config:
     """Full size matches hub MidasNet exactly; tests shrink every axis."""
@@ -104,13 +148,16 @@ class MidasV21Config:
     head_features: int = 128
     head_mid: int = 32
     non_negative: bool = True
-    # Per-layer block-diagonal densification of the grouped conv2s (see
-    # BlockDiagGroupedConv). Defaults measured on the real chip
-    # (tools/grouped_conv_ab.py, BASELINE.md): dense wins 28x/8x/~wash/loses
-    # at layer1/2/3/4 — layer3's slope-timed win evaporates in the full
-    # program (23 blocks x 37.7 MB dense kernels stream from HBM instead of
-    # staying VMEM-resident) and layer4's grouped conv is latency-hidden.
-    dense_conv2: Tuple[bool, bool, bool, bool] = (True, True, False, False)
+    # Per-layer lowering of the grouped conv2s: "grouped" (XLA's native
+    # lowering), "dense" (BlockDiagGroupedConv), or "batched"
+    # (BatchedMatmulGroupedConv). Defaults set by FULL-PROGRAM measurement
+    # on the real chip (tools/grouped_conv_ab.py --variants, BASELINE.md):
+    # XLA's grouped lowering runs the 8-channel groups at 0.04 TFLOP/s at
+    # layer1/2 (dense wins 28x/8x); layer3's dense win evaporates in the
+    # full program (23 x 37.7 MB dense kernels stream from HBM) where the
+    # im2col batched matmul avoids the zero streaming; layer4's grouped
+    # conv is latency-hidden.
+    conv2_impl: Tuple[str, str, str, str] = ("dense", "dense", "batched", "grouped")
 
     def width(self, planes: int) -> int:
         """Grouped-conv width of a bottleneck (torchvision formula)."""
@@ -128,7 +175,7 @@ class ResNeXtBottleneck(nn.Module):
     strides: int = 1
     groups: int = 32
     downsample: bool = False
-    dense_conv2: bool = False
+    conv2_impl: str = "grouped"
 
     @nn.compact
     def __call__(self, x):
@@ -141,9 +188,12 @@ class ResNeXtBottleneck(nn.Module):
             sc = x
         h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
         h = nn.relu(FrozenBatchNorm(self.width, eps=BN_EPS, name="bn1")(h))
-        if self.dense_conv2:
+        if self.conv2_impl == "dense":
             h = BlockDiagGroupedConv(self.width, self.groups, strides=s,
                                      name="conv2")(h)
+        elif self.conv2_impl == "batched":
+            h = BatchedMatmulGroupedConv(self.width, self.groups, strides=s,
+                                         name="conv2")(h)
         else:
             h = nn.Conv(self.width, (3, 3), strides=s, padding=((1, 1), (1, 1)),
                         feature_group_count=self.groups, use_bias=False,
@@ -175,7 +225,7 @@ class ResNeXt(nn.Module):
                 stride = 2 if (li > 1 and bi == 0) else 1
                 x = ResNeXtBottleneck(
                     width, out_c, strides=stride, groups=cfg.groups,
-                    downsample=(bi == 0), dense_conv2=cfg.dense_conv2[li - 1],
+                    downsample=(bi == 0), conv2_impl=cfg.conv2_impl[li - 1],
                     name=f"layer{li}_block{bi}",
                 )(x)
             feats[f"layer{li}"] = x

@@ -86,21 +86,20 @@ def test_registry_entry():
     assert model.cfg.depths == (3, 4, 23, 3) and model.cfg.features == 256
 
 
-def test_dense_conv2_matches_grouped(sd, flax_params, rng):
-    """The block-diagonal MXU rewrite (BlockDiagGroupedConv) is numerically
-    a reassociation of the grouped conv: same params (tree identical — the
-    default-config goldens above already prove the dense path against the
-    torch oracle), outputs equal to accumulation-order noise. Guards the
-    shipped default (dense_conv2 at layer1/2) against regressions in the
-    expansion indexing."""
+@pytest.mark.parametrize("impl", ["dense", "batched"])
+def test_conv2_rewrites_match_grouped(sd, flax_params, rng, impl):
+    """The MXU rewrites of the grouped conv2 (block-diagonal dense kernel,
+    im2col batched matmul) are numerically reassociations of the grouped
+    conv: same params (tree identical — the default-config goldens above
+    already prove the shipped mix against the torch oracle), outputs equal
+    to accumulation-order noise. Guards the expansion/patch indexing, incl.
+    the strided conv2s at layer2-4 block0."""
     import dataclasses
 
     x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
-    outs = {}
-    for name, dc in [("grouped", (False,) * 4), ("dense", (True,) * 4)]:
-        cfg = dataclasses.replace(TINY, dense_conv2=dc)
-        outs[name] = np.asarray(jax.jit(MidasV21(cfg).apply)(flax_params, x))
-    scale = np.abs(outs["grouped"]).max() + 1e-8
-    np.testing.assert_allclose(
-        outs["dense"] / scale, outs["grouped"] / scale, atol=1e-5
-    )
+    base = dataclasses.replace(TINY, conv2_impl=("grouped",) * 4)
+    ref = np.asarray(jax.jit(MidasV21(base).apply)(flax_params, x))
+    cfg = dataclasses.replace(TINY, conv2_impl=(impl,) * 4)
+    got = np.asarray(jax.jit(MidasV21(cfg).apply)(flax_params, x))
+    scale = np.abs(ref).max() + 1e-8
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)

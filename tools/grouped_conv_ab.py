@@ -59,7 +59,7 @@ def conv_ms(hw, width, groups, dtype, precision):
 
 def model_variants_ms(dtype_name):
     """Full-scale MidasV21 forward (256², slope method) per conv2 policy —
-    the FULL-PROGRAM numbers the shipped dense_conv2 default is set by
+    the FULL-PROGRAM numbers the shipped conv2_impl default is set by
     (the single-conv rows above overstate layer3: a loop-invariant dense
     kernel stays VMEM-resident there, but 23 distinct 37.7 MB kernels
     stream from HBM in the real model)."""
@@ -80,13 +80,15 @@ def model_variants_ms(dtype_name):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (1, 256, 256, 3)).astype(np.float32)).astype(dtype)
     variants = [
-        ("grouped", (False,) * 4),
-        ("dense layer1+2 (default)", (True, True, False, False)),
-        ("dense layer1+2+3", (True, True, True, False)),
+        ("grouped", ("grouped",) * 4),
+        ("dense12", ("dense", "dense", "grouped", "grouped")),
+        ("dense123", ("dense", "dense", "dense", "grouped")),
+        ("dense12+batched3", ("dense", "dense", "batched", "grouped")),
+        ("dense12+batched34", ("dense", "dense", "batched", "batched")),
     ]
     params = None
     for name, dc in variants:
-        m = MidasV21(dataclasses.replace(MIDAS_V21, dense_conv2=dc))
+        m = MidasV21(dataclasses.replace(MIDAS_V21, conv2_impl=dc))
         if params is None:
             params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
             params = jax.tree.map(lambda a: a.astype(dtype), params)
