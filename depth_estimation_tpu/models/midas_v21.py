@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from depth_estimation_tpu.models.layers import FrozenBatchNorm
 from depth_estimation_tpu.models.midas_small import ResidualConvUnit, _upsample2x
+from depth_estimation_tpu.ops.pallas.grouped_conv import grouped_conv3x3_pallas
 
 BN_EPS = 1e-5  # torchvision ResNet default (vs 1e-3 in the tf_ encoders)
 
@@ -90,6 +91,38 @@ class BlockDiagGroupedConv(nn.Module):
         )
 
 
+class PallasGroupedConv(nn.Module):
+    """Grouped 3x3 conv via the Pallas shifted-matmul kernel (stride 1 only).
+
+    Fourth lowering option: ops/pallas/grouped_conv.py keeps the whole
+    conv in VMEM — no HBM materialization of im2col patches (the 'batched'
+    cost: layer3 moves 2.17 GB/frame, tools/v21_profile.py) and no streamed
+    zero-padded dense kernels (the 'dense' cost at layer3). Param identical
+    to nn.Conv's grouped kernel. Strided blocks fall back to the im2col
+    batched matmul — only the first block of a layer is strided.
+    """
+
+    width: int
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.width // self.groups, self.width),
+            jnp.float32,
+        )
+        if self.strides != (1, 1):
+            return _batched_matmul_grouped_conv(x, kernel, self.groups,
+                                                self.strides)
+        return grouped_conv3x3_pallas(
+            x, kernel, self.groups,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+
 class BatchedMatmulGroupedConv(nn.Module):
     """Grouped 3x3 conv as an im2col batched matmul (group = batch dim).
 
@@ -109,29 +142,34 @@ class BatchedMatmulGroupedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        g = self.groups
-        cg = self.width // g
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, cg, self.width),
+            (3, 3, self.width // self.groups, self.width),
             jnp.float32,
         )
-        dtype = jnp.promote_types(x.dtype, kernel.dtype)
-        b, h, w_sp, _ = x.shape
-        # (B, H', W', C*9) with channel dim ordered (C, KH, KW)
-        p = jax.lax.conv_general_dilated_patches(
-            x.astype(dtype), (3, 3), self.strides, [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        ho, wo = p.shape[1], p.shape[2]
-        p = p.reshape(b * ho * wo, g, cg, 9)
-        p = p.transpose(1, 0, 2, 3).reshape(g, b * ho * wo, cg * 9)
-        # kernel (3,3,cg,width): output o = go*cg + co -> (G, cg*9, cg)
-        wk = kernel.astype(dtype).reshape(3, 3, cg, g, cg)
-        wk = wk.transpose(3, 2, 0, 1, 4).reshape(g, cg * 9, cg)
-        y = jax.lax.dot_general(p, wk, (((2,), (1,)), ((0,), (0,))))
-        y = y.transpose(1, 0, 2).reshape(b, ho, wo, self.width)
-        return y
+        return _batched_matmul_grouped_conv(x, kernel, self.groups,
+                                            self.strides)
+
+
+def _batched_matmul_grouped_conv(x, kernel, g, strides):
+    """im2col + group-batched dot_general body shared by the two modules."""
+    width = kernel.shape[-1]
+    cg = width // g
+    dtype = jnp.promote_types(x.dtype, kernel.dtype)
+    b = x.shape[0]
+    # (B, H', W', C*9) with channel dim ordered (C, KH, KW)
+    p = jax.lax.conv_general_dilated_patches(
+        x.astype(dtype), (3, 3), strides, [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho, wo = p.shape[1], p.shape[2]
+    p = p.reshape(b * ho * wo, g, cg, 9)
+    p = p.transpose(1, 0, 2, 3).reshape(g, b * ho * wo, cg * 9)
+    # kernel (3,3,cg,width): output o = go*cg + co -> (G, cg*9, cg)
+    wk = kernel.astype(dtype).reshape(3, 3, cg, g, cg)
+    wk = wk.transpose(3, 2, 0, 1, 4).reshape(g, cg * 9, cg)
+    y = jax.lax.dot_general(p, wk, (((2,), (1,)), ((0,), (0,))))
+    return y.transpose(1, 0, 2).reshape(b, ho, wo, width)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +232,9 @@ class ResNeXtBottleneck(nn.Module):
         elif self.conv2_impl == "batched":
             h = BatchedMatmulGroupedConv(self.width, self.groups, strides=s,
                                          name="conv2")(h)
+        elif self.conv2_impl == "pallas":
+            h = PallasGroupedConv(self.width, self.groups, strides=s,
+                                  name="conv2")(h)
         else:
             h = nn.Conv(self.width, (3, 3), strides=s, padding=((1, 1), (1, 1)),
                         feature_group_count=self.groups, use_bias=False,

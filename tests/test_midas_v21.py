@@ -86,13 +86,14 @@ def test_registry_entry():
     assert model.cfg.depths == (3, 4, 23, 3) and model.cfg.features == 256
 
 
-@pytest.mark.parametrize("impl", ["dense", "batched"])
+@pytest.mark.parametrize("impl", ["dense", "batched", "pallas"])
 def test_conv2_rewrites_match_grouped(sd, flax_params, rng, impl):
     """The MXU rewrites of the grouped conv2 (block-diagonal dense kernel,
-    im2col batched matmul) are numerically reassociations of the grouped
-    conv: same params (tree identical — the default-config goldens above
-    already prove the shipped mix against the torch oracle), outputs equal
-    to accumulation-order noise. Guards the expansion/patch indexing, incl.
+    im2col batched matmul, Pallas shifted-matmul kernel — interpret mode on
+    CPU) are numerically reassociations of the grouped conv: same params
+    (tree identical — the default-config goldens above already prove the
+    shipped mix against the torch oracle), outputs equal to
+    accumulation-order noise. Guards the expansion/patch indexing, incl.
     the strided conv2s at layer2-4 block0."""
     import dataclasses
 

@@ -57,7 +57,7 @@ def conv_ms(hw, width, groups, dtype, precision):
     return slope_time_ms(salted_loop(step), (x, w), n1=16, n2=48)
 
 
-def model_variants_ms(dtype_name):
+def model_variants_ms(dtype_name, only=None):
     """Full-scale MidasV21 forward (256², slope method) per conv2 policy —
     the FULL-PROGRAM numbers the shipped conv2_impl default is set by
     (the single-conv rows above overstate layer3: a loop-invariant dense
@@ -85,7 +85,17 @@ def model_variants_ms(dtype_name):
         ("dense123", ("dense", "dense", "dense", "grouped")),
         ("dense12+batched3", ("dense", "dense", "batched", "grouped")),
         ("dense12+batched34", ("dense", "dense", "batched", "batched")),
+        ("dense12+pallas3", ("dense", "dense", "pallas", "grouped")),
+        ("pallas123", ("pallas", "pallas", "pallas", "grouped")),
+        ("pallas1234", ("pallas", "pallas", "pallas", "pallas")),
+        ("dense1+pallas23", ("dense", "pallas", "pallas", "grouped")),
     ]
+    if only:
+        keep = set(only.split(","))
+        unknown = keep - {n for n, _ in variants}
+        if unknown:
+            raise SystemExit(f"unknown --only policies: {sorted(unknown)}")
+        variants = [(n, dc) for n, dc in variants if n in keep]
     params = None
     for name, dc in variants:
         m = MidasV21(dataclasses.replace(MIDAS_V21, conv2_impl=dc))
@@ -108,6 +118,9 @@ def main():
     ap.add_argument("--variants", action="store_true",
                     help="also time the full model per conv2 densification "
                          "policy (grouped / dense12 / dense123)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated policy names to restrict --variants "
+                         "to (compiles are minutes each through the tunnel)")
     args = ap.parse_args()
 
     from depth_estimation_tpu.utils.platform import apply_platform_env
@@ -120,6 +133,13 @@ def main():
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     precision = "high" if args.dtype == "float32" else "default"
     print(f"backend: {jax.default_backend()}  dtype: {args.dtype}")
+
+    if args.variants and args.only:
+        # Restricted re-measurement run: skip the (already-recorded)
+        # single-conv rows and frame-program context — compiles are minutes
+        # each through the tunnel.
+        model_variants_ms(args.dtype, only=args.only)
+        return 0
 
     total_grouped = total_dense = 0.0
     for name, hw, width, groups in V21_CONV2_SHAPES:
@@ -135,7 +155,7 @@ def main():
           f"dense {total_dense:.3f} ms")
 
     if args.variants:
-        model_variants_ms(args.dtype)
+        model_variants_ms(args.dtype, only=args.only)
 
     # context: the full shipped frame program (33 bottlenecks -> ~33 conv2s)
     import warnings
