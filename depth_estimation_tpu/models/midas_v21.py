@@ -187,15 +187,21 @@ class MidasV21Config:
     head_mid: int = 32
     non_negative: bool = True
     # Per-layer lowering of the grouped conv2s: "grouped" (XLA's native
-    # lowering), "dense" (BlockDiagGroupedConv), or "batched"
-    # (BatchedMatmulGroupedConv). Defaults set by FULL-PROGRAM measurement
-    # on the real chip (tools/grouped_conv_ab.py --variants, BASELINE.md):
-    # XLA's grouped lowering runs the 8-channel groups at 0.04 TFLOP/s at
-    # layer1/2 (dense wins 28x/8x); layer3's dense win evaporates in the
-    # full program (23 x 37.7 MB dense kernels stream from HBM) where the
-    # im2col batched matmul avoids the zero streaming; layer4's grouped
-    # conv is latency-hidden.
-    conv2_impl: Tuple[str, str, str, str] = ("dense", "dense", "batched", "grouped")
+    # lowering), "dense" (BlockDiagGroupedConv), "batched"
+    # (BatchedMatmulGroupedConv), "pallas" (PallasGroupedConv), or "auto"
+    # (trace-time dispatch on the activation dtype: bfloat16 -> pallas,
+    # float32 -> batched — the measured-best lowering per mode; note
+    # pallas_call has no VJP, so bf16 + auto is inference-only).
+    # Defaults set by FULL-PROGRAM measurement on the real chip
+    # (tools/grouped_conv_ab.py --variants, BASELINE.md): XLA's grouped
+    # lowering runs the 8-channel groups at 0.04 TFLOP/s at layer1/2 (dense
+    # wins 28x/8x); layer3's dense win evaporates in the full program
+    # (23 x 37.7 MB dense kernels stream from HBM); the im2col batched
+    # matmul avoids the zero streaming but still moves ~2 GB/frame of
+    # patches — at bf16 the Pallas VMEM kernel removes that and wins 1.51x
+    # (5.10 -> 3.38 ms), at f32 its 6-pass in-kernel dots give the win back
+    # (6.94 -> 7.34 ms); layer4's grouped conv is latency-hidden.
+    conv2_impl: Tuple[str, str, str, str] = ("dense", "dense", "auto", "grouped")
 
     def width(self, planes: int) -> int:
         """Grouped-conv width of a bottleneck (torchvision formula)."""
@@ -235,10 +241,21 @@ class ResNeXtBottleneck(nn.Module):
         elif self.conv2_impl == "pallas":
             h = PallasGroupedConv(self.width, self.groups, strides=s,
                                   name="conv2")(h)
-        else:
+        elif self.conv2_impl == "auto":
+            # Measured-best lowering per trace dtype (identical param tree,
+            # so the choice is invisible to converters/checkpoints).
+            if h.dtype == jnp.bfloat16 and s == (1, 1):
+                h = PallasGroupedConv(self.width, self.groups, strides=s,
+                                      name="conv2")(h)
+            else:
+                h = BatchedMatmulGroupedConv(self.width, self.groups,
+                                             strides=s, name="conv2")(h)
+        elif self.conv2_impl == "grouped":
             h = nn.Conv(self.width, (3, 3), strides=s, padding=((1, 1), (1, 1)),
                         feature_group_count=self.groups, use_bias=False,
                         name="conv2")(h)
+        else:
+            raise ValueError(f"unknown conv2_impl {self.conv2_impl!r}")
         h = nn.relu(FrozenBatchNorm(self.width, eps=BN_EPS, name="bn2")(h))
         h = nn.Conv(self.out_features, (1, 1), use_bias=False, name="conv3")(h)
         h = FrozenBatchNorm(self.out_features, eps=BN_EPS, name="bn3")(h)

@@ -104,3 +104,29 @@ def test_conv2_rewrites_match_grouped(sd, flax_params, rng, impl):
     got = np.asarray(jax.jit(MidasV21(cfg).apply)(flax_params, x))
     scale = np.abs(ref).max() + 1e-8
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_conv2_auto_dispatch(sd, flax_params, rng):
+    """'auto' (the shipped layer3 default) must equal the explicit lowering
+    it dispatches to in each mode: batched at f32, pallas at bf16 (both
+    reassociations of the grouped conv, so outputs agree with the grouped
+    reference to the mode's accumulation noise)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    x32 = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    auto = dataclasses.replace(TINY, conv2_impl=("auto",) * 4)
+    batched = dataclasses.replace(TINY, conv2_impl=("batched",) * 4)
+    a = np.asarray(jax.jit(MidasV21(auto).apply)(flax_params, x32))
+    b = np.asarray(jax.jit(MidasV21(batched).apply)(flax_params, x32))
+    np.testing.assert_array_equal(a, b)  # identical program at f32
+
+    p16 = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16), flax_params)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    a16 = np.asarray(jax.jit(MidasV21(auto).apply)(p16, x16), np.float32)
+    g16 = np.asarray(
+        jax.jit(MidasV21(dataclasses.replace(TINY, conv2_impl=("grouped",) * 4)
+                         ).apply)(p16, x16), np.float32)
+    scale = np.abs(g16).max() + 1e-8
+    np.testing.assert_allclose(a16 / scale, g16 / scale, atol=0.1)
