@@ -21,10 +21,9 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from depth_estimation_tpu.models.midas_small import FeatureFusionBlock
+from depth_estimation_tpu.models.midas_small import FeatureFusionBlock, UpsampleConv3x3
 from depth_estimation_tpu.models.resnetv2 import ResNetV2Stem
 from depth_estimation_tpu.models.vit import ViT
-from depth_estimation_tpu.ops.resize import resize_bilinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,9 +188,7 @@ class DPT(nn.Module):
         p1 = FeatureFusionBlock(f, align_corners=True, name="refinenet1")(p2, rn[0])
 
         h = nn.Conv(f // 2, (3, 3), padding=((1, 1), (1, 1)), name="output_conv_0")(p1)
-        hh, hw = h.shape[-3], h.shape[-2]
-        h = resize_bilinear(h, (2 * hh, 2 * hw), align_corners=True)
-        h = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="output_conv_2")(h)
+        h = UpsampleConv3x3(32, align_corners=True, name="output_conv_2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), padding="VALID", name="output_conv_4")(h)
         if cfg.non_negative:

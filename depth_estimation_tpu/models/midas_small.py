@@ -25,12 +25,37 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from depth_estimation_tpu.models.efficientnet_lite import EfficientNetLite3
-from depth_estimation_tpu.ops.resize import resize_bilinear
+from depth_estimation_tpu.ops.resize import resize_bilinear, upsample2x_conv3x3
 
 
 def _upsample2x(x, align_corners: bool):
     h, w = x.shape[-3], x.shape[-2]
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
+
+
+class UpsampleConv3x3(nn.Module):
+    """``conv3x3_SAME(2x bilinear upsample(x))`` with ``nn.Conv``'s param tree.
+
+    The head chain all three families end with, evaluated in the
+    MXU-friendly reassociated order (ops/resize.py::upsample2x_conv3x3):
+    the channel matmul runs at LOW H with the three kernel rows stacked
+    into the lane dim instead of at 4x pixels with 32 lanes. Params are
+    byte-identical to ``nn.Conv(features, (3, 3))`` — kernel (3, 3, C, F)
+    + bias (F,) — so converters/checkpoints/goldens are untouched.
+    """
+
+    features: int
+    align_corners: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return upsample2x_conv3x3(x, kernel, bias,
+                                  align_corners=self.align_corners)
 
 
 class ResidualConvUnit(nn.Module):
@@ -61,8 +86,13 @@ class FeatureFusionBlock(nn.Module):
         if skip is not None:
             h = h + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
         h = ResidualConvUnit(self.features, name="resConfUnit2")(h)
-        h = _upsample2x(h, align_corners=self.align_corners)
+        # Reference order is upsample -> out_conv (MiDaS
+        # FeatureFusionBlock_custom); a 1x1 conv (channel dim) and the
+        # bilinear resize (spatial dims) act on disjoint axes so they
+        # commute exactly — applying the conv first runs it on 1/4 the
+        # pixels and (when expand) halves the channels the resize touches.
         h = nn.Conv(out_features, (1, 1), name="out_conv")(h)
+        h = _upsample2x(h, align_corners=self.align_corners)
         return h
 
 
@@ -88,8 +118,7 @@ class MidasSmall(nn.Module):
         p1 = FeatureFusionBlock(f, expand=False, align_corners=self.align_corners, name="refinenet1")(p2, rn1)
 
         h = nn.Conv(f // 2, (3, 3), padding=((1, 1), (1, 1)), name="output_conv_0")(p1)
-        h = _upsample2x(h, align_corners=False)
-        h = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="output_conv_2")(h)
+        h = UpsampleConv3x3(32, align_corners=False, name="output_conv_2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), name="output_conv_4")(h)
         if self.non_negative:

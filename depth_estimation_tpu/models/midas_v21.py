@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 from depth_estimation_tpu.models.layers import FrozenBatchNorm
-from depth_estimation_tpu.models.midas_small import ResidualConvUnit, _upsample2x
+from depth_estimation_tpu.models.midas_small import (
+    ResidualConvUnit, UpsampleConv3x3, _upsample2x)
 from depth_estimation_tpu.ops.pallas.grouped_conv import grouped_conv3x3_pallas
 
 BN_EPS = 1e-5  # torchvision ResNet default (vs 1e-3 in the tf_ encoders)
@@ -327,9 +328,8 @@ class MidasV21(nn.Module):
 
         h = nn.Conv(cfg.head_features, (3, 3), padding=((1, 1), (1, 1)),
                     name="output_conv_0")(p1)
-        h = _upsample2x(h, align_corners=False)
-        h = nn.Conv(cfg.head_mid, (3, 3), padding=((1, 1), (1, 1)),
-                    name="output_conv_2")(h)
+        h = UpsampleConv3x3(cfg.head_mid, align_corners=False,
+                            name="output_conv_2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), name="output_conv_4")(h)
         if cfg.non_negative:

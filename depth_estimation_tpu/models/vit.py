@@ -87,6 +87,39 @@ def resize_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int], orig_grid
     return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, c)], axis=1)
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch projection as an explicit reshape + matmul.
+
+    Numerically the stride-P VALID conv timm uses, but XLA's TPU lowering of
+    a 16x16/16 conv on a 3-channel input spends ~10x its flop floor on patch
+    formatting (xprof: 0.46 ms of the 12.5 ms DPT-Large frame). Flattening
+    the (P, P, C) patch explicitly and hitting the MXU with one
+    (gh*gw, P*P*C) x (P*P*C, embed) matmul removes that. Param tree is
+    byte-identical to ``nn.Conv(name="patch_embed")`` — kernel (P, P, C, E)
+    + bias — so converters/checkpoints/goldens are untouched.
+    """
+
+    features: int
+    patch: int
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch
+        b, h, w, c = x.shape
+        if h % p or w % p:
+            raise ValueError(f"input {h}x{w} not a multiple of patch {p}")
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, c, self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        gh, gw = h // p, w // p
+        xp = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        xp = xp.reshape(b, gh, gw, p * p * c)
+        y = xp @ kernel.astype(xp.dtype).reshape(p * p * c, self.features)
+        return y + bias.astype(y.dtype)
+
+
 class ViT(nn.Module):
     """Transformer trunk; returns hooked token tensors (incl. cls)."""
 
@@ -127,13 +160,8 @@ class ViT(nn.Module):
         """x: (B, H, W, 3) or pre-computed patch features via ``patches``
         (B, gh, gw, C) for the hybrid backbone."""
         if patches is None:
-            patches = nn.Conv(
-                self.embed_dim,
-                (self.patch_size, self.patch_size),
-                strides=(self.patch_size, self.patch_size),
-                padding="VALID",
-                name="patch_embed",
-            )(x)
+            patches = PatchEmbed(self.embed_dim, self.patch_size,
+                                 name="patch_embed")(x)
         B, gh, gw, C = patches.shape
         tokens = patches.reshape(B, gh * gw, C)
 

@@ -156,3 +156,78 @@ def resize_bilinear(img, out_hw, align_corners: bool = True):
     the MiDaS-small output head uses align_corners=False.
     """
     return resize2d(img, out_hw, method="linear", align_corners=align_corners)
+
+
+@functools.lru_cache(maxsize=256)
+def _shifted_interp_matrix(
+    in_size: int, out_size: int, method: str, align_corners: bool, shift: int
+) -> np.ndarray:
+    """``R`` with rows moved up by ``shift`` and vacated rows zeroed.
+
+    ``S[a, :] = R[a + shift, :]`` where ``0 <= a + shift < out_size`` else 0 —
+    exactly the operator "upsample, then read row a+shift of the zero-padded
+    result", which is what each tap of a SAME-padded conv applied after the
+    upsample sees.
+    """
+    R = _interp_matrix_cached(in_size, out_size, method, align_corners)
+    S = np.zeros_like(R)
+    if shift >= 0:
+        S[: out_size - shift] = R[shift:]
+    else:
+        S[-shift:] = R[: out_size + shift]
+    return S
+
+
+def upsample2x_conv3x3(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    align_corners: bool = True,
+    precision=None,
+) -> jnp.ndarray:
+    """``conv3x3_SAME(resize_bilinear(x, 2x, align_corners), kernel) + bias``.
+
+    The depth heads of all three model families end with exactly this chain
+    (reference: DPT head interpolate+conv, MidasNet/MiDaS-small heads), and
+    computed literally it is the most MXU-hostile stretch of the frame: the
+    3x3 conv runs at 4x resolution with few output channels (N=32 fills 1/4
+    of the MXU lanes) and the upsample's separable matmuls materialize +
+    re-layout the 4x-size intermediate (xprof round 3: ~1.4 of DPT-Large's
+    12.5 ms/frame sit in this chain). This reassociates the linear chain:
+
+        o = sum_dh sum_dw  Shift_dh(Rh) . x . Shift_dw(Rw)^T  @c  K[dh, dw]
+
+    evaluated as (1) three W-upsamples of ``x`` at the LOW H resolution,
+    (2) one channel matmul per dw with the three dh taps stacked into the
+    lane dim (N = 3*Co), (3) three H-upsamples of the small-Co partials.
+    Pure reassociation of the same products — border semantics are exact:
+    the shifted-row-zeroed matrices reproduce the conv's zero padding, and
+    the interp matrices already encode the resize's border replication.
+    """
+    b, h, w, c = x.shape
+    kh, kw, kc, co = kernel.shape
+    if (kh, kw) != (3, 3) or kc != c:
+        raise ValueError(f"kernel {kernel.shape} isn't (3, 3, {c}, Co)")
+    hi = jax.lax.Precision.HIGH  # matches resize2d's interp contractions
+    kdt = kernel.dtype
+    x32 = x.astype(jnp.float32)
+    m = None
+    for dw in range(3):
+        rw = jnp.asarray(_shifted_interp_matrix(w, 2 * w, "linear",
+                                                align_corners, dw - 1))
+        v = jnp.einsum("ow,bhwc->bhoc", rw, x32, precision=hi).astype(kdt)
+        kd = kernel[:, dw].transpose(1, 0, 2).reshape(c, 3 * co)  # (C, dh*Co)
+        md = jnp.einsum("bhoc,cf->bhof", v, kd, precision=precision)
+        m = md if m is None else m + md
+    m32 = m.astype(jnp.float32)
+    o = None
+    for dh in range(3):
+        rh = jnp.asarray(_shifted_interp_matrix(h, 2 * h, "linear",
+                                                align_corners, dh - 1))
+        blk = m32[..., dh * co:(dh + 1) * co]
+        od = jnp.einsum("ah,bhoc->baoc", rh, blk, precision=hi)
+        o = od if o is None else o + od
+    o = o.astype(jnp.promote_types(x.dtype, kdt))
+    if bias is not None:
+        o = o + bias.astype(o.dtype)
+    return o

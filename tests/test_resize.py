@@ -72,3 +72,35 @@ def test_batched_and_2d_inputs(rng):
     d = rng.random((24, 24)).astype(np.float32)
     out2d = np.asarray(resize2d(d, (48, 48), method="cubic"))
     assert out2d.shape == (48, 48)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("hw,c,co", [((13, 17), 8, 5), ((24, 32), 16, 32)])
+def test_upsample2x_conv3x3_matches_literal_chain(rng, align_corners, hw, c, co):
+    """Fused head op == upsample-then-SAME-conv against torch, incl. borders."""
+    from depth_estimation_tpu.ops.resize import upsample2x_conv3x3
+
+    h, w = hw
+    x = rng.random((2, h, w, c)).astype(np.float32)
+    k = (rng.random((3, 3, c, co)).astype(np.float32) - 0.5)
+    bias = rng.random((co,)).astype(np.float32)
+
+    ours = np.asarray(upsample2x_conv3x3(x, k, bias, align_corners=align_corners))
+
+    up = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                       scale_factor=2, mode="bilinear",
+                       align_corners=align_corners)
+    ref = F.conv2d(up, torch.from_numpy(k).permute(3, 2, 0, 1),
+                   torch.from_numpy(bias), padding=1)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_upsample2x_conv3x3_rejects_wrong_kernel(rng):
+    from depth_estimation_tpu.ops.resize import upsample2x_conv3x3
+
+    x = rng.random((1, 8, 8, 4)).astype(np.float32)
+    with pytest.raises(ValueError):
+        upsample2x_conv3x3(x, np.zeros((5, 5, 4, 2), np.float32))
+    with pytest.raises(ValueError):
+        upsample2x_conv3x3(x, np.zeros((3, 3, 3, 2), np.float32))
