@@ -102,4 +102,7 @@ class ResNetV2Stem(nn.Module):
                     c, strides=stride, downsample=(bi == 0), name=f"stage{si}_block{bi}"
                 )(x)
             outs.append(x)
-        return outs[2], [outs[0], outs[1]]
+        # outs[-1] == outs[2] at the default depths; the general form lets
+        # truncated stems (tools/dpt_profile.py prefix programs) reuse the
+        # full param tree — block naming is depth-independent.
+        return outs[-1], list(outs[:-1])

@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Per-section profile of the DPT-Large frame program (trunk prefixes + decoder).
+"""Per-section profile of the DPT frame programs (trunk prefixes + decoder).
 
 Same method as tools/v21_profile.py (which localized the v2.1 grouped-conv
-gap): slope-time PREFIX programs of the ViT trunk — stem..block5, ..block11,
-..block17, ..block23 (XLA dead-code eliminates everything past the consumed
-hook) — plus the full model, and print per-section deltas next to each
-prefix's XLA cost-model bytes/flops. The full-model minus trunk delta is the
-reassemble+fusion decoder. Run at --dtype float32 (the gate-passing default,
-ambient 'high') and bfloat16 to see where each mode's time sits vs its floor.
+gap): slope-time PREFIX programs of the trunk — for DPT-Large the ViT
+stem..block5, ..block11, ..block17, ..block23; for DPT-Hybrid the ResNetV2
+stem stage1/2/3 then ..vit block8 / block11 (XLA dead-code eliminates
+everything past the consumed hook) — plus the full model, and print
+per-section deltas next to each prefix's XLA cost-model bytes/flops. The
+full-model minus trunk delta is the reassemble+fusion decoder. Run at
+--dtype float32 (the gate-passing default, ambient 'high') and bfloat16 to
+see where each mode's time sits vs its floor.
 
 Usage: python tools/dpt_profile.py [--dtype float32|bfloat16] [--hw 384 384]
          [--model dpt_large|dpt_hybrid] [--peak-tflops 197] [--hbm-gbs 819]
@@ -47,9 +49,6 @@ def main():
         from depth_estimation_tpu.models.vit import ViT
 
     cfg = DPT_LARGE if args.model == "dpt_large" else DPT_HYBRID
-    if cfg.hybrid:
-        raise SystemExit("hybrid trunk prefixes need the ResNet stem too — "
-                         "only dpt_large is wired up")
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     precision = "high" if args.dtype == "float32" else "default"
     passes = 3.0 if args.dtype == "float32" else 1.0
@@ -79,19 +78,56 @@ def main():
         return ms, float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
     rows = []
-    for hook in cfg.hooks:
-        # Depth-(hook+1) trunk: blocks_{i>hook} params in the tree are simply
-        # unused; block naming is depth-independent so the prefix program is
-        # exactly the full trunk's first hook+1 blocks.
-        enc = ViT(embed_dim=cfg.embed_dim, depth=hook + 1,
-                  num_heads=cfg.num_heads, img_size=cfg.img_size,
-                  hooks=(hook,), use_pallas=cfg.use_pallas,
-                  dot_precision=cfg.dot_precision)
-        ms, fl, by = timed(
-            lambda p, xx, enc=enc: enc.apply(p, xx)[0][0].mean(),
-            (vit_params, x),
-        )
-        rows.append((f"stem..block{hook}", ms, fl, by))
+    if cfg.hybrid:
+        import flax.linen as nn
+
+        from depth_estimation_tpu.models.resnetv2 import ResNetV2Stem
+
+        class HybridTrunkPrefix(nn.Module):
+            """ResNet stem + patch embed + first ``vit_depth`` ViT blocks,
+            named to reuse the full DPT-Hybrid param tree verbatim."""
+
+            stem_stages: int
+            vit_depth: int = 0
+
+            @nn.compact
+            def __call__(self, xx):
+                stem = ResNetV2Stem(depths=(3, 4, 9)[: self.stem_stages],
+                                    name="resnet_stem")
+                stem_feats, _ = stem(xx)
+                if not self.vit_depth:
+                    return stem_feats.mean()
+                toks, _ = ViT(
+                    embed_dim=cfg.embed_dim, depth=self.vit_depth,
+                    num_heads=cfg.num_heads, img_size=cfg.img_size,
+                    hooks=(self.vit_depth - 1,), use_pallas=cfg.use_pallas,
+                    dot_precision=cfg.dot_precision, name="vit",
+                )(xx, patches=nn.Conv(cfg.embed_dim, (1, 1), padding="VALID",
+                                      name="patch_embed")(stem_feats))
+                return toks[0].mean()
+
+        prefixes = [("stem stage1", 1, 0), ("stem stage2", 2, 0),
+                    ("stem stage3", 3, 0)]
+        prefixes += [(f"..vit block{h}", 3, h + 1) for h in cfg.hooks if h >= 2]
+        for name, stages, vdepth in prefixes:
+            mod = HybridTrunkPrefix(stem_stages=stages, vit_depth=vdepth)
+            ms, fl, by = timed(
+                lambda p, xx, mod=mod: mod.apply(p, xx), (params, x))
+            rows.append((name, ms, fl, by))
+    else:
+        for hook in cfg.hooks:
+            # Depth-(hook+1) trunk: blocks_{i>hook} params in the tree are
+            # simply unused; block naming is depth-independent so the prefix
+            # program is exactly the full trunk's first hook+1 blocks.
+            enc = ViT(embed_dim=cfg.embed_dim, depth=hook + 1,
+                      num_heads=cfg.num_heads, img_size=cfg.img_size,
+                      hooks=(hook,), use_pallas=cfg.use_pallas,
+                      dot_precision=cfg.dot_precision)
+            ms, fl, by = timed(
+                lambda p, xx, enc=enc: enc.apply(p, xx)[0][0].mean(),
+                (vit_params, x),
+            )
+            rows.append((f"stem..block{hook}", ms, fl, by))
     ms, fl, by = timed(lambda p, xx: model.apply(p, xx).mean(), (params, x))
     rows.append(("full model", ms, fl, by))
 
