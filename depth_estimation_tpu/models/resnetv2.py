@@ -83,9 +83,15 @@ class Bottleneck(nn.Module):
 
 class ResNetV2Stem(nn.Module):
     """Stages (3, 4, 9) → (stage3 output for the patch embed,
-    [stage1 (256ch, stride 4), stage2 (512ch, stride 8)])."""
+    [stage1 (256ch, stride 4), stage2 (512ch, stride 8)]).
 
-    depths: Tuple[int, int, int] = (3, 4, 9)
+    ``depths`` may be truncated to a prefix — e.g. ``(3,)`` or ``(3, 4)`` —
+    in which case the return is (last built stage's output, [earlier
+    stages]); block naming is depth-independent so truncated stems reuse
+    the full param tree (tools/dpt_profile.py prefix programs).
+    """
+
+    depths: Tuple[int, ...] = (3, 4, 9)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:

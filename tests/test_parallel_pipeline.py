@@ -96,7 +96,8 @@ def test_pipelined_dpt_forward_matches_plain(rng):
 
 def test_pipelined_train_step(rng):
     """One adamw step through the pipelined forward: gradients flow through
-    ppermute/scan and the loss matches the plain step's loss."""
+    ppermute/scan, the loss matches the plain step's loss, and the full
+    gradient matches the plain schedule's gradient."""
     model = DPT(TINY)
     mesh = make_mesh(8, pp=4)
     x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
@@ -114,11 +115,29 @@ def test_pipelined_train_step(rng):
         s_pp = init_state(variables, tx)
         s_plain, loss_plain = plain_step(s_plain, x, gt)
         s_pp, loss_pp = pp_step(s_pp, x, gt)
-    np.testing.assert_allclose(float(loss_pp), float(loss_plain), rtol=1e-5)
-    # params moved identically (same grads through either schedule)
-    a = jax.tree_util.tree_leaves(s_plain.params)[0]
-    b = jax.tree_util.tree_leaves(s_pp.params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    # rtol derivation: the schedules differ only in f32 association order, and
+    # the noise is XLA:CPU codegen-dependent (round-3 verdict measured 250x
+    # spread between hosts on the analogous tp-sharded loss); 5e-4 is ~10x the
+    # worst delta seen on any host, vs O(1) relative shift for a schedule bug.
+    np.testing.assert_allclose(float(loss_pp), float(loss_plain), rtol=5e-4)
+    # Compare PRE-optimizer gradients, not post-adamw params: adam's
+    # g/(sqrt(v)+eps) amplifies float-noise on near-zero grads into ~lr-sized
+    # (2e-4) param deltas, so param equality after a step is ill-conditioned
+    # (same rationale as test_grad_accumulation_matches_full_batch). Relative
+    # L2 over the whole gradient vector is the well-conditioned statistic:
+    # measured <=8.3e-5 over 8 seeds on this host; a dropped microbatch or a
+    # wrong hook index moves it to O(1). 5e-3 = 60x observed, 200x below bug.
+    from depth_estimation_tpu.train.step import loss_fn as _loss_fn
+
+    g_plain = jax.grad(lambda v: _loss_fn(model.apply, v, x, gt))(variables)
+    with mesh:
+        g_pp = jax.jit(jax.grad(lambda v: _loss_fn(
+            lambda vv, imgs: dpt_apply_pipelined(vv, imgs, TINY, mesh, microbatches=2),
+            v, x, gt)))(variables)
+    ga = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g_plain)])
+    gb = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g_pp)])
+    rel_l2 = float(np.linalg.norm(ga - gb) / np.linalg.norm(ga))
+    assert rel_l2 < 5e-3, f"pipelined gradient diverges: rel L2 {rel_l2:.3e}"
 
 
 TINY_HYBRID = DPTConfig(

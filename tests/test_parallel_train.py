@@ -101,7 +101,13 @@ def test_sharded_matches_single_device():
     with mesh:
         state8 = init_state(params, tx, mesh=mesh)
         _, loss_sharded = step(state8, shard_batch(x, mesh), shard_batch(gt, mesh))
-    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=2e-5)
+    # tolerance derivation: the delta is pure f32 reduction-order noise from
+    # the tp-sharded matmul partials, and it is XLA:CPU *codegen*-dependent —
+    # measured ≤2.2e-7 over 8 seeds on one host but 5.1e-5 on another
+    # (round-3 verdict), so per-host measurements need wide margin. 5e-4 is
+    # ~10x the worst observed anywhere while a real sharding bug (missing
+    # psum / wrong dp mean) moves this O(0.6) loss by >=1e-2, 20x the bound.
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=5e-4)
 
 
 def test_shard_params_placement():

@@ -49,6 +49,13 @@ def main():
         from depth_estimation_tpu.models.vit import ViT
 
     cfg = DPT_LARGE if args.model == "dpt_large" else DPT_HYBRID
+    # the prefix programs below rebuild bare ViTs that do not thread these
+    # config knobs; they are None/False for the shipped registry configs —
+    # assert so the profiled program can never silently diverge from them
+    assert cfg.block_precisions is None and not cfg.remat and \
+        cfg.act_sharding is None, (
+            "dpt_profile prefix programs ignore block_precisions/remat/"
+            "act_sharding — unset them or thread them into the prefix ViTs")
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     precision = "high" if args.dtype == "float32" else "default"
     passes = 3.0 if args.dtype == "float32" else 1.0
