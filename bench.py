@@ -21,8 +21,15 @@ Methodology
   numbers and its torch-hub/timm stack cannot run here). Measured in a
   subprocess, cached in .bench_cache.json.
 
+A plain ``python bench.py`` run (the driver's invocation) first emits one
+compact on-chip JSON line per model family (MiDaS_small, MiDaS v2.1,
+DPT_Hybrid) and then the DPT-Large headline line LAST — so per-family
+regressions are driver-visible while a last-line-only parser still lands on
+the north star (which also embeds ``all_models_onchip_ms``).
+
 Usage: python bench.py [--model-type DPT_Large] [--height 384] [--width 384]
                        [--dtype float32|bfloat16] [--skip-cpu] [--cpu-worker]
+                       [--all-models]
 """
 
 import argparse
@@ -342,6 +349,12 @@ def main():
                     help="stream = depth-only headline (default); fused = "
                          "config-4 iris pipeline; detection = config-5 "
                          "3-tier detection pipeline")
+    ap.add_argument("--all-models", action="store_true", default=None,
+                    help="also emit one compact on-chip JSON line per model "
+                         "family before the headline line (the default for a "
+                         "plain 'python bench.py' run, so per-family "
+                         "regressions are driver-visible — VERDICT r3 #4); "
+                         "an explicit --model-type disables it")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -409,8 +422,35 @@ def main():
         }))
         return
 
-    est = build(args.model_type, args.dtype)
     frames = make_frames(max(args.frames, 9) + 16, args.height, args.width)
+
+    # per-family on-chip lines first, headline (DPT_Large) LAST so the
+    # driver's one-line parser still lands on the north-star metric; the
+    # headline line additionally embeds the per-family numbers so they
+    # survive even a last-line-only recording
+    all_models = args.all_models
+    if all_models is None:
+        all_models = (
+            args.model_type == "DPT_Large"
+            and "--model-type" not in sys.argv
+        )
+    family_ms = {}
+    if all_models:
+        for mt in ("MiDaS_small", "MiDaS", "DPT_Hybrid"):
+            est_m = build(mt, args.dtype)
+            ms_m = onchip_ms_per_frame(est_m, frames[0])
+            family_ms[mt] = round(ms_m, 3)
+            print(json.dumps({
+                "metric": f"{mt}_{args.height}x{args.width}_stream_fps_per_chip",
+                "value": round(1e3 / ms_m, 2),
+                "unit": "frames/s",
+                "vs_baseline": None,
+                "onchip_ms_per_frame": round(ms_m, 3),
+                "dtype": args.dtype,
+            }), flush=True)
+            del est_m  # release the family's params before the next build
+
+    est = build(args.model_type, args.dtype)
     ms = onchip_ms_per_frame(est, frames[0])
     fps = 1e3 / ms
     # shipped streaming transfer path: device-postprocessed u8 frames
@@ -439,6 +479,7 @@ def main():
         "d2h_bytes_per_frame": args.height * args.width,
         "d2h_f32_bytes_per_frame": 4 * args.height * args.width,
         "cpu_reference_fps": round(cpu_fps, 4) if cpu_fps else None,
+        **({"all_models_onchip_ms": family_ms} if family_ms else {}),
     }))
 
 

@@ -101,11 +101,18 @@ class PallasGroupedConv(nn.Module):
     zero-padded dense kernels (the 'dense' cost at layer3). Param identical
     to nn.Conv's grouped kernel. Strided blocks fall back to the im2col
     batched matmul — only the first block of a layer is strided.
+
+    ``precision`` pins the in-kernel dot precision (Mosaic ignores the
+    ambient ``jax.default_matmul_precision``): None keeps the kernel's
+    conservative dtype default (f32 -> 'highest' 6-pass), "high" gives the
+    3-pass f32 mode that matches the rest of the frame program's ambient
+    'high' matmuls (VERDICT r3 #3).
     """
 
     width: int
     groups: int
     strides: Tuple[int, int] = (1, 1)
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -120,6 +127,7 @@ class PallasGroupedConv(nn.Module):
                                                 self.strides)
         return grouped_conv3x3_pallas(
             x, kernel, self.groups,
+            precision=self.precision,
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -189,7 +197,9 @@ class MidasV21Config:
     non_negative: bool = True
     # Per-layer lowering of the grouped conv2s: "grouped" (XLA's native
     # lowering), "dense" (BlockDiagGroupedConv), "batched"
-    # (BatchedMatmulGroupedConv), "pallas" (PallasGroupedConv), or "auto"
+    # (BatchedMatmulGroupedConv), "pallas" (PallasGroupedConv),
+    # "pallas_high" (PallasGroupedConv with 3-pass f32 in-kernel dots), or
+    # "auto"
     # (trace-time dispatch on the activation dtype: bfloat16 -> pallas,
     # float32 -> batched — the measured-best lowering per mode; note
     # pallas_call has no VJP, so bf16 + auto is inference-only).
@@ -242,6 +252,12 @@ class ResNeXtBottleneck(nn.Module):
         elif self.conv2_impl == "pallas":
             h = PallasGroupedConv(self.width, self.groups, strides=s,
                                   name="conv2")(h)
+        elif self.conv2_impl == "pallas_high":
+            # f32 Pallas with 3-pass in-kernel dots — same precision tier as
+            # the frame program's ambient 'high' matmuls, half the MXU work
+            # of the kernel's conservative 'highest' default
+            h = PallasGroupedConv(self.width, self.groups, strides=s,
+                                  precision="high", name="conv2")(h)
         elif self.conv2_impl == "auto":
             # Measured-best lowering per trace dtype (identical param tree,
             # so the choice is invisible to converters/checkpoints).

@@ -20,7 +20,7 @@ def test_analyze_reports_roofline(capsys):
     out = capsys.readouterr().out
     assert "MiDaS_small" in out and "memory" in out
     # flops and bytes are positive and the floor is the larger bound
-    m = re.search(r"flops\s+([\d.]+) G\s+bytes\s+([\d.]+) GB.*compute\s+([\d.]+) ms\s+memory\s+([\d.]+) ms.*floor ([\d.]+) ms", out)
+    m = re.search(r"flops\s+([\d.]+) G\s+bytes\s+([\d.]+) GB.*compute\s+([\d.]+) ms \(\d+-pass\)\s+memory\s+([\d.]+) ms.*floor ([\d.]+) ms", out)
     assert m, out
     flops, bytes_gb, t_c, t_m, floor = map(float, m.groups())
     assert flops > 0 and bytes_gb > 0

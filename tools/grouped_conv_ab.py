@@ -86,6 +86,7 @@ def model_variants_ms(dtype_name, only=None):
         ("dense12+batched3", ("dense", "dense", "batched", "grouped")),
         ("dense12+batched34", ("dense", "dense", "batched", "batched")),
         ("dense12+pallas3", ("dense", "dense", "pallas", "grouped")),
+        ("dense12+pallasH3", ("dense", "dense", "pallas_high", "grouped")),
         ("dense12+pallas34", ("dense", "dense", "pallas", "pallas")),
         ("pallas123", ("pallas", "pallas", "pallas", "grouped")),
         ("pallas1234", ("pallas", "pallas", "pallas", "pallas")),
