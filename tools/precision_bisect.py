@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Mixed-precision bisect for DPT-Large on the real chip.
+"""Mixed-precision bisect for DPT-Large / DPT-Hybrid on the real chip.
 
 Measures, for each (trunk, decoder) matmul-precision combination:
   * max abs-rel error vs the full-scale torch oracle (the accuracy gate
@@ -8,11 +8,17 @@ Measures, for each (trunk, decoder) matmul-precision combination:
     fori_loop slope method (see bench.py docstring — per-dispatch tunnel
     latency cancels; identical-computation memoization is salted away).
 
-The estimator's ambient precision stays 'high'; DPTConfig.dot_precision /
-decoder_precision override the trunk / decoder sections. Run on the TPU
-(default backend). Results feed BASELINE.md and the registry default.
+The ambient precision (--ambient, default 'high' for DPT-Large, 'highest'
+for DPT-Hybrid — each model's shipped registry f32_precision) covers every
+section NOT overridden: for Hybrid that is exactly the ResNetV2 stem +
+patch embed, so ``--model dpt_hybrid --configs high:high`` measures the
+round-3 verdict's untried section mix — stem 'highest', ViT trunk and
+decoder 'high' (the stem is the section that needs 'highest': it
+accumulates 2.8e-3 at 'high', VERDICT r2/r3). Run on the TPU (default
+backend). Results feed BASELINE.md and the registry default.
 
-Usage: python tools/precision_bisect.py [--configs high:high default:default ...]
+Usage: python tools/precision_bisect.py [--model dpt_large|dpt_hybrid]
+         [--ambient high|highest] [--configs high:high default:default ...]
 """
 
 import argparse
@@ -25,31 +31,37 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build(trunk, decoder):
+def base_cfg(model_name):
+    from depth_estimation_tpu.models.dpt import DPT_HYBRID, DPT_LARGE
+
+    return DPT_HYBRID if model_name == "dpt_hybrid" else DPT_LARGE
+
+
+def build(trunk, decoder, base):
     import dataclasses
 
-    from depth_estimation_tpu.models.dpt import DPT, DPT_LARGE
+    from depth_estimation_tpu.models.dpt import DPT
 
     cfg = dataclasses.replace(
-        DPT_LARGE,
+        base,
         dot_precision=None if trunk == "ambient" else trunk,
         decoder_precision=None if decoder == "ambient" else decoder,
     )
     return DPT(cfg)
 
 
-def oracle_and_params():
+def oracle_and_params(base):
     """Full-scale random hub-named weights + torch oracle output (CPU)."""
     import torch
 
-    from depth_estimation_tpu.models.dpt import DPT_LARGE
     from depth_estimation_tpu.utils.convert import convert_dpt
     from tests.oracles import dpt_torch as oracle
 
-    sd = oracle.make_random_state_dict(DPT_LARGE, seed=5)
-    params = {"params": convert_dpt({k: v.numpy() for k, v in sd.items()}, DPT_LARGE)}
+    sd = oracle.make_random_state_dict(base, seed=5)
+    params = {"params": convert_dpt({k: v.numpy() for k, v in sd.items()}, base)}
     x = np.random.default_rng(0).standard_normal((1, 384, 384, 3)).astype(np.float32) * 0.5
-    ref = oracle.forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), DPT_LARGE).numpy()
+    fwd = oracle.forward_hybrid if base.hybrid else oracle.forward
+    ref = fwd(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), base).numpy()
     return params, x, ref
 
 
@@ -154,16 +166,30 @@ def main():
         ],
     )
     ap.add_argument("--threshold", type=float, default=1e-3)
+    ap.add_argument("--model", default="dpt_large",
+                    choices=["dpt_large", "dpt_hybrid"])
+    ap.add_argument("--ambient", default=None, choices=["high", "highest"],
+                    help="ambient matmul precision for non-overridden "
+                         "sections (default: the model's shipped registry "
+                         "f32_precision — 'high' for DPT-Large, 'highest' "
+                         "for DPT-Hybrid, whose stem needs it)")
     args = ap.parse_args()
+    if args.ambient is None:
+        args.ambient = "highest" if args.model == "dpt_hybrid" else "high"
 
     import jax
 
-    print(f"backend: {jax.default_backend()}")
+    print(f"backend: {jax.default_backend()}  model: {args.model}  "
+          f"ambient: {args.ambient}")
+    base = base_cfg(args.model)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        params, x, ref = oracle_and_params()
+        params, x, ref = oracle_and_params(base)
 
     if args.per_block:
+        if args.model != "dpt_large":
+            raise SystemExit("--per-block supports dpt_large only (the "
+                             "per-block tables are ViT-L/24-specific)")
         base_err, base_ms = measure(build_per_block([None] * 24), params, x, ref)
         print(f"baseline all-'high': err {base_err:.2e}, {base_ms:.2f} ms/frame")
         results = {}
@@ -188,8 +214,8 @@ def main():
     rows = []
     for spec in args.configs:
         trunk, decoder = spec.split(":")
-        model = build(trunk, decoder)
-        err, ms = measure(model, params, x, ref)
+        model = build(trunk, decoder, base)
+        err, ms = measure(model, params, x, ref, ambient=args.ambient)
         status = "PASS" if err < args.threshold else "FAIL"
         rows.append((spec, err, ms, status))
         print(f"trunk={trunk:8s} decoder={decoder:8s} -> err {err:.2e} ({status}), {ms:.2f} ms/frame", flush=True)
