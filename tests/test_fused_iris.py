@@ -272,7 +272,9 @@ def test_fused_stream_end_to_end(estimator):
     assert len(face.abs_depths) == 2 + calls["body"], "depth not sampled per frame"
 
 
-@pytest.mark.parametrize("depth", [1, 3])
+@pytest.mark.parametrize(
+    "depth", [1, pytest.param(3, marks=pytest.mark.full)]
+)
 def test_fused_stream_pipeline_depth_equivalent(estimator, depth):
     """The pipelined fused loop (frames in flight) must write the same
     frames and record the same depth samples as the synchronous depth-1
@@ -296,7 +298,9 @@ def test_fused_stream_pipeline_depth_equivalent(estimator, depth):
     np.testing.assert_allclose(face_a.s2c_ds, face_b.s2c_ds, rtol=1e-6)
 
 
-@pytest.mark.parametrize("k", [2, 8])
+@pytest.mark.parametrize(
+    "k", [2, pytest.param(8, marks=pytest.mark.full)]
+)
 def test_fused_stream_microbatch_equivalent(estimator, k):
     """microbatch=K (vmapped fused program, one dispatch + one fetch per K
     frames) must write the same frame count and record the same per-frame

@@ -115,7 +115,9 @@ def drive_microbatched(est, sources, hw, M):
     return expected
 
 
-@pytest.mark.parametrize("M", [2, 4])
+@pytest.mark.parametrize(
+    "M", [2, pytest.param(4, marks=pytest.mark.full)]
+)
 def test_multistream_microbatch_matches_driver(est, M):
     """microbatch=M must write the same per-stream frames in order —
     including streams ending mid-tick (lengths not multiples of M) and a
@@ -170,7 +172,9 @@ def test_multistream_file_sources(est, tmp_path):
     _assert_streams_match(sinks, expected, lengths)
 
 
-@pytest.mark.parametrize("M", [1, 2])
+@pytest.mark.parametrize(
+    "M", [1, pytest.param(2, marks=pytest.mark.full)]
+)
 def test_multistream_mixed_resolutions(est, M):
     """Streams at different resolutions are served via per-(H,W) bucketing
     — each bucket batches into its own compiled program, per-stream outputs

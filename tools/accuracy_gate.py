@@ -73,13 +73,14 @@ def gate_dpt(cfg_name, sd=None):
     import jax
     import torch
 
-    from depth_estimation_tpu.models.dpt import DPT, DPT_HYBRID, DPT_LARGE
+    from depth_estimation_tpu.models.dpt import DPT_HYBRID, DPT_LARGE
     from depth_estimation_tpu.utils.convert import convert_dpt
     from tests.oracles import dpt_torch as oracle
 
     from depth_estimation_tpu.registry import get_entry
 
-    prec = get_entry(cfg_name).f32_precision
+    entry = get_entry(cfg_name)
+    prec = entry.f32_precision
     cfg = DPT_LARGE if cfg_name == "DPT_Large" else DPT_HYBRID
     if sd is None:
         sd = oracle.make_random_state_dict(cfg, seed=5)
@@ -87,7 +88,10 @@ def gate_dpt(cfg_name, sd=None):
     x = np.random.default_rng(0).standard_normal((1, 384, 384, 3)).astype(np.float32) * 0.5
     fwd_t = oracle.forward_hybrid if cfg.hybrid else oracle.forward
     ref = fwd_t(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), cfg).numpy()
-    m = DPT(cfg)
+    # build via the registry factory, NOT DPT(cfg): the shipped model may
+    # carry section-precision overrides (e.g. Hybrid's mixed config) that
+    # the gate must measure exactly as the estimator runs them
+    m = entry.make_model()
 
     @jax.jit
     def fwd(p, x):
