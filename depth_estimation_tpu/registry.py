@@ -47,9 +47,18 @@ def _make_dpt_large():
 
 
 def _make_dpt_hybrid():
+    import dataclasses
+
     from depth_estimation_tpu.models.dpt import DPT, DPT_HYBRID
 
-    return DPT(DPT_HYBRID)
+    # Section-mixed f32 precision (round-4 bisect, tools/precision_bisect.py
+    # --model dpt_hybrid): only the ResNetV2 stem needs 6-pass 'highest'
+    # (it accumulates 2.8e-3 at 'high'); the ViT-B trunk and the decoder
+    # gate-PASS at 3-pass 'high' (3.46e-4 vs the 1e-3 threshold), halving
+    # their matmul work. The ambient registry f32_precision stays 'highest'
+    # and covers exactly the stem, which has no per-section override.
+    return DPT(dataclasses.replace(
+        DPT_HYBRID, dot_precision="high", decoder_precision="high"))
 
 
 def _make_midas_v21():

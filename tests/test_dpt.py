@@ -106,3 +106,21 @@ def test_hybrid_forward_matches_torch_oracle(sd_hybrid, flax_params_hybrid, rng)
     assert ours.shape == ref.shape == (1, 64, 64)
     scale = np.abs(ref).max() + 1e-8
     np.testing.assert_allclose(ours / scale, ref / scale, atol=1e-4)
+
+
+def test_shipped_hybrid_precision_mix():
+    """The registry's DPT_Hybrid ships the round-4 section mix: ambient
+    f32_precision 'highest' (covers exactly the ResNetV2 stem, which needs
+    6-pass — 2.8e-3 at 'high') with the ViT-B trunk and decoder overridden
+    to 3-pass 'high' (full-scale gate 3.46e-4 vs 1e-3 on the real chip,
+    tools/precision_bisect.py --model dpt_hybrid). Pins the config so a
+    registry edit can't silently drop either half of the mix."""
+    from depth_estimation_tpu.registry import get_entry
+
+    entry = get_entry("DPT_Hybrid")
+    assert entry.f32_precision == "highest"
+    model = entry.make_model()
+    assert model.cfg.dot_precision == "high"
+    assert model.cfg.decoder_precision == "high"
+    # param tree must be unaffected by precision overrides
+    assert model.cfg.hybrid and model.cfg.embed_dim == 768

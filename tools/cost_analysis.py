@@ -43,7 +43,20 @@ _PASSES = {"default": 1.0, "high": 3.0, "highest": 6.0}
 def _f32_passes(model_type: str) -> float:
     from depth_estimation_tpu import registry
 
-    return _PASSES[registry.get_entry(model_type).f32_precision]
+    entry = registry.get_entry(model_type)
+    passes = _PASSES[entry.f32_precision]
+    # Section-mixed models (DPT_Hybrid since round 4: ambient 'highest'
+    # stem, 'high' ViT trunk + decoder) have no single pass count. Use the
+    # LOWEST tier present: the trunk/decoder dominate the FLOPs, and a
+    # too-low compute floor is the conservative direction for an
+    # "at speed of light" claim (the stem's 6-pass share only raises the
+    # true floor above what we print).
+    cfg = getattr(entry.make_model(), "cfg", None)
+    for attr in ("dot_precision", "decoder_precision"):
+        p = getattr(cfg, attr, None)
+        if p is not None:
+            passes = min(passes, _PASSES[p])
+    return passes
 
 
 def _report(label, lowered, passes, peak_tflops, hbm_gbs):
