@@ -48,9 +48,37 @@ from jax.experimental import pallas as pl
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+
+def _split_bf16(a):
+    """Hi/lo bf16 split of an f32 array: a ≈ hi + lo exactly as XLA's
+    bf16_3x decomposition takes it (hi = round-to-bf16, lo = residual)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_f32(a, b, precision):
+    """In-kernel f32 matmul at a named precision tier.
+
+    Mosaic's dot lowering accepts only DEFAULT and HIGHEST — there is no
+    HIGH enum path (jax/_src/pallas/mosaic/lowering.py raises
+    NotImplementedError on it). "high" is therefore emulated as the same
+    3-pass bf16 decomposition XLA's bf16_3x HIGH lowering performs:
+    a·b ≈ ah·bh + ah·bl + al·bh with f32 accumulation (the al·bl term is
+    below f32 rounding and dropped, exactly as XLA drops it). Half the MXU
+    passes of the kernel's conservative HIGHEST default.
+    """
+    if precision == "high":
+        ah, al = _split_bf16(a)
+        bh, bl = _split_bf16(b)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_PRECISIONS[precision])
 
 
 def pick_block_channels(channels: int, group_size: int, target: int = 128) -> int:
@@ -94,8 +122,7 @@ def _kernel(x_ref, w_ref, out_ref, *, height, width, cg, bw, precision):
         # off-diagonal blocks — tiled[r, c] = kc[r % cg, c].
         tiled = kc if f == 1 else jnp.concatenate([kc] * f, axis=0)
         kd = tiled * mask
-        acc += jnp.dot(a, kd, preferred_element_type=jnp.float32,
-                       precision=precision)
+        acc += _dot_f32(a, kd, precision)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -146,6 +173,8 @@ def grouped_conv3x3_pallas(
     dtype = jnp.promote_types(x.dtype, kernel.dtype)
     if precision is None:
         precision = "default" if dtype == jnp.bfloat16 else "highest"
+    if precision not in ("default", "high", "highest"):
+        raise ValueError(f"precision must be default|high|highest, got {precision!r}")
     bw = pick_block_channels(c, cg, block_channels)
     n_sb = c // bw
     wp = w + 2
@@ -156,7 +185,7 @@ def grouped_conv3x3_pallas(
     w2 = kernel.astype(dtype).reshape(9 * cg, c)
     call = pl.pallas_call(
         functools.partial(_kernel, height=hc, width=w, cg=cg, bw=bw,
-                          precision=_PRECISIONS[precision]),
+                          precision=precision),
         grid=(b, n_sb),
         in_specs=[
             pl.BlockSpec((1, (hc + 3) * wp, bw), lambda i, j: (i, 0, j)),

@@ -58,6 +58,31 @@ def test_zero_padding_edges(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_precision_high_is_3pass_emulation(rng):
+    """precision="high" must agree with the exact conv to bf16_3x accuracy
+    (~16 effective mantissa bits — rel err well under 1e-4 at these
+    magnitudes) WITHOUT being bitwise equal to the HIGHEST path (it really
+    runs the 3-pass decomposition, not a silent fallback)."""
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 16)).astype(np.float32))
+    hi = grouped_conv3x3_pallas(x, k, 4, block_channels=8, interpret=True,
+                                precision="high")
+    exact = grouped_conv3x3_pallas(x, k, 4, block_channels=8, interpret=True,
+                                   precision="highest")
+    ref = _ref(x, k, 4)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(hi) / scale,
+                               np.asarray(ref) / scale, atol=1e-4)
+    assert not np.array_equal(np.asarray(hi), np.asarray(exact))
+
+
+def test_bad_precision_raises():
+    x = jnp.zeros((1, 4, 4, 16), jnp.float32)
+    with pytest.raises(ValueError):
+        grouped_conv3x3_pallas(x, jnp.zeros((3, 3, 4, 16)), 4,
+                               interpret=True, precision="medium")
+
+
 def test_pick_block_channels():
     assert pick_block_channels(1024, 32, 128) == 128
     assert pick_block_channels(256, 8, 128) == 128
