@@ -72,11 +72,18 @@ def _dot_f32(a, b, precision):
     passes of the kernel's conservative HIGHEST default.
     """
     if precision == "high":
-        ah, al = _split_bf16(a)
-        bh, bl = _split_bf16(b)
-        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT)
-        return d(ah, bh) + d(ah, bl) + d(al, bh)
+        if a.dtype != jnp.float32:
+            # bf16 (or lower) operands carry no residual: both lo terms of
+            # the decomposition are exactly zero, so the 3-pass emulation
+            # would spend 3x the MXU passes to reproduce a single DEFAULT
+            # dot. Short-circuit (ADVICE r4).
+            precision = "default"
+        else:
+            ah, al = _split_bf16(a)
+            bh, bl = _split_bf16(b)
+            d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=_PRECISIONS[precision])
 
