@@ -397,6 +397,8 @@ class Budget:
         self.t_start = t_start
         self.observed: dict = {}
         self.skipped: list = []
+        self.emergency: dict = {}
+        self._done = None  # threading.Event once armed
 
     def remaining(self) -> float:
         return self.total - (time.monotonic() - self.t_start)
@@ -412,6 +414,41 @@ class Budget:
 
     def record(self, kind: str, took_s: float) -> None:
         self.observed[kind] = max(self.observed.get(kind, 0.0), took_s)
+
+    def arm_emergency(self, grace_s: float = 75.0):
+        """Last-resort record emitter: if a measurement call hangs past
+        budget+grace (a tunnel flap mid-RPC — observed 2026-08-20: the axon
+        link dropped for ~50 min DURING the round), a daemon thread prints
+        whatever headline record has been measured so far (tagged
+        ``"aborted"``) and exits, so the driver still captures a parseable
+        partial record instead of an empty rc-124 tail. The budget guard
+        itself can't help there: it only runs BETWEEN phases."""
+        import threading
+
+        self._done = threading.Event()
+
+        def watch():
+            delay = self.total + grace_s - (time.monotonic() - self.t_start)
+            if self._done.wait(max(delay, 1.0)):
+                return
+            if self.emergency:
+                rec = dict(self.emergency)
+                rec["aborted"] = ("measurement hung past budget+grace; "
+                                  "emergency partial record")
+                print(json.dumps(rec), flush=True)
+                sys.stderr.write("bench: emergency record emitted after hang\n")
+                sys.stderr.flush()
+                os._exit(0)
+            sys.stderr.write("bench: hung before the headline was measured; "
+                             "no record possible\n")
+            sys.stderr.flush()
+            os._exit(4)
+
+        threading.Thread(target=watch, daemon=True).start()
+
+    def disarm(self):
+        if self._done is not None:
+            self._done.set()
 
 
 def _backend_watchdog(timeout_s: float = 300.0):
@@ -541,11 +578,21 @@ def main():
     # Recorded under its OWN kind: DPT-Large's 343M-param build dominates
     # its cost, so pooling it with the (much cheaper) family estimates
     # would starve the family sweep of budget it actually has.
+    budget.arm_emergency()
     t = time.monotonic()
     est = build(args.model_type, args.dtype)
     ms = onchip_ms_per_frame(est, frames[0])
     fps = 1e3 / ms
     budget.record("headline", time.monotonic() - t)
+    # from here on the emergency thread can emit a valid partial headline
+    budget.emergency.update({
+        "metric": f"{args.model_type}_{args.height}x{args.width}_stream_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "onchip_ms_per_frame": round(ms, 3),
+        "dtype": args.dtype,
+    })
 
     # Phase 2: CPU reference → vs_baseline (the judge-tracked ratio). A
     # cache hit is ~free; a cold run compiles + evaluates the f32 frame
@@ -559,6 +606,9 @@ def main():
             t = time.monotonic()
             cpu_fps = cpu_baseline(args.model_type, args.height, args.width)
             budget.record("cpu", time.monotonic() - t)
+    if cpu_fps:
+        budget.emergency["vs_baseline"] = round(fps / cpu_fps, 2)
+        budget.emergency["cpu_reference_fps"] = round(cpu_fps, 4)
 
     # Phase 3: f32 per-family on-chip lines (headline family reuses the
     # phase-1 measurement — no extra cost). Printed BEFORE the headline so
@@ -573,6 +623,7 @@ def main():
             ms_m = onchip_ms_per_frame(est_m, frames[0])
             budget.record("family", time.monotonic() - t)
             family_ms[mt] = round(ms_m, 3)
+            budget.emergency["all_models_onchip_ms"] = family_ms
             fam_line(mt, ms_m, args.dtype)
             del est_m  # release the family's params before the next build
         family_ms[args.model_type] = round(ms, 3)
@@ -590,6 +641,7 @@ def main():
             ms_b = onchip_ms_per_frame(est_b, frames[0])
             budget.record("family", time.monotonic() - t)
             bf16_ms[mt] = round(ms_b, 3)
+            budget.emergency["bf16_onchip_ms"] = bf16_ms
             del est_b
 
     # Phase 5: secondary e2e client numbers (tunnel-bound on this box),
@@ -602,6 +654,7 @@ def main():
         budget.record("e2e", time.monotonic() - t)
         e2e["e2e_client_fps"] = round(e2e_fps, 2)
         e2e["e2e_p50_latency_ms"] = round(p50_ms, 2)
+        budget.emergency.update(e2e)
     if budget.allows("e2e", 90.0, "e2e_microbatch4"):
         t = time.monotonic()
         # micro-batched transcoding path (VidStream microbatch=4):
@@ -610,6 +663,7 @@ def main():
         e2e_mb4_fps, _ = e2e_microbatch_numbers(est, mb_frames, 4)
         budget.record("e2e", time.monotonic() - t)
         e2e["e2e_microbatch4_client_fps"] = round(e2e_mb4_fps, 2)
+        budget.emergency.update(e2e)
     if budget.allows("e2e", 90.0, "e2e_f32"):
         t = time.monotonic()
         # old full-f32-map fetch, kept for the D2H comparison
@@ -617,8 +671,10 @@ def main():
         budget.record("e2e", time.monotonic() - t)
         e2e["e2e_f32_client_fps"] = round(e2e_f32_fps, 2)
         e2e["e2e_f32_p50_latency_ms"] = round(p50_f32_ms, 2)
+        budget.emergency.update(e2e)
 
     vs = (fps / cpu_fps) if cpu_fps else None
+    budget.disarm()
     print(json.dumps({
         "metric": f"{args.model_type}_{args.height}x{args.width}_stream_fps_per_chip",
         "value": round(fps, 2),

@@ -148,3 +148,34 @@ def test_compare_parses_driver_record_envelope(compare_mod, tmp_path):
     p.write_text(json.dumps(rec))
     lines = compare_mod.load_bench(p)
     assert lines and lines[0]["value"] == 91.55
+
+
+def test_budget_emergency_record_fires_in_subprocess(tmp_path):
+    """A hang past budget+grace must still emit the partial headline record
+    (exit 0) — or exit 4 when nothing was measured yet."""
+    import subprocess
+    import sys as _sys
+    import pathlib as _pl
+
+    root = _pl.Path(__file__).resolve().parents[1]
+    code = (
+        "import importlib.util, time, sys\n"
+        f"spec = importlib.util.spec_from_file_location('bench_mod', {str(root / 'bench.py')!r})\n"
+        "bench = importlib.util.module_from_spec(spec); spec.loader.exec_module(bench)\n"
+        "b = bench.Budget(0.2, time.monotonic())\n"
+        "b.emergency.update({'metric': 'X_stream_fps_per_chip', 'value': 1.0})\n"
+        "b.arm_emergency(grace_s=0.3)\n"
+        "time.sleep(30)\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=25)
+    assert r.returncode == 0, r.stderr
+    import json as _json
+
+    rec = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "X_stream_fps_per_chip" and "aborted" in rec
+
+    code_none = code.replace("b.emergency.update({'metric': 'X_stream_fps_per_chip', 'value': 1.0})\n", "")
+    r2 = subprocess.run([_sys.executable, "-c", code_none], capture_output=True,
+                        text=True, timeout=25)
+    assert r2.returncode == 4
