@@ -484,6 +484,9 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cpu-worker", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--real-init", action="store_true",
+                    help="use real jitted random init for the headline "
+                         "estimator instead of the zeros-params fast path")
     ap.add_argument("--batch", type=int, default=0,
                     help="measure the BATCHED still-image config at this "
                          "batch size instead of the streaming config")
@@ -501,9 +504,13 @@ def main():
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
 
     apply_platform_env()
+    enable_compilation_cache()
 
     if not args.cpu_worker and os.environ.get("DEPTH_TPU_PLATFORM", "") != "cpu":
         import jax
@@ -580,7 +587,10 @@ def main():
     # would starve the family sweep of budget it actually has.
     budget.arm_emergency()
     t = time.monotonic()
-    est = build(args.model_type, args.dtype)
+    # zeros-params fast path (same executable, value-independent op time —
+    # see build()); --real-init pays the ~40-90 s jitted random init to
+    # cross-check that the measurement is param-value-independent
+    est = build(args.model_type, args.dtype, zero_init=not args.real_init)
     ms = onchip_ms_per_frame(est, frames[0])
     fps = 1e3 / ms
     budget.record("headline", time.monotonic() - t)

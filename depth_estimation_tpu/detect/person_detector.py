@@ -101,8 +101,11 @@ class PersonDetector:
         self._pose = BlazePose()
         self._pose_params = _wrap(params.get("blazepose")) or _init(self._pose, (1, 256, 256, 3), seed + 3)
 
-        self._face_anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
-        self._pose_anchors = jnp.asarray(build_anchors(BLAZEPOSE_DETECTOR))
+        # host numpy, not jax.Arrays: device-array consts captured by the
+        # jitted stages stall lowering with one D2H tunnel RPC each (see
+        # estimator._make_frame_fn note)
+        self._face_anchors = build_anchors(BLAZEFACE_FRONT)
+        self._pose_anchors = build_anchors(BLAZEPOSE_DETECTOR)
         self._detect_jit = {}
 
     # -- jitted stages ------------------------------------------------------

@@ -102,8 +102,12 @@ class DepthEstimator:
         streaming loop fetches 4× fewer bytes per frame."""
         cfg = self.preprocess_cfg
         net_hw = compute_resize_shape(*in_hw, cfg)
-        mean = jnp.asarray(cfg.mean, jnp.float32)
-        std = jnp.asarray(cfg.std, jnp.float32)
+        # trace-time constants MUST stay host numpy: a jax.Array captured in
+        # a jitted closure is fetched back D2H at LOWERING time (one blocking
+        # tunnel RPC per constant, queued behind all pending device work —
+        # observed stalling fn.lower() for minutes during tunnel congestion)
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
         model = self.model
         dtype = self.dtype
         precision = self.matmul_precision
@@ -265,8 +269,9 @@ class DepthEstimator:
     def _make_batched_fn(self, in_hw: Tuple[int, int], output: str = "f32"):
         cfg = self.preprocess_cfg
         net_hw = compute_resize_shape(*in_hw, cfg)
-        mean = jnp.asarray(cfg.mean, jnp.float32)
-        std = jnp.asarray(cfg.std, jnp.float32)
+        # host numpy, not jax.Arrays — see _make_frame_fn's constants note
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
         model = self.model
         dtype = self.dtype
         precision = self.matmul_precision

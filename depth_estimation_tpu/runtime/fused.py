@@ -33,6 +33,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from depth_estimation_tpu.config import BODY_HEAD, LEFT_IRIS, RIGHT_IRIS
 from depth_estimation_tpu.detect.anchors import (
@@ -148,12 +149,12 @@ def make_fused_frame_fn(estimator, detector, in_hw: Tuple[int, int]):
     (depth (H, W) f32, boxes (M, 16), scores (M,), valid (M,))."""
     cfg = estimator.preprocess_cfg
     net_hw = compute_resize_shape(*in_hw, cfg)
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
     model = estimator.model
     dtype = estimator.dtype
     face_model = detector._face_det
-    anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+    anchors = build_anchors(BLAZEFACE_FRONT)  # host numpy (lowering-const rule)
     thresh = detector.minDetectionCon
 
     precision = getattr(estimator, "matmul_precision", "high")
@@ -223,18 +224,18 @@ def make_fused_iris_frame_fn(estimator, detector, in_hw: Tuple[int, int],
     """
     cfg = estimator.preprocess_cfg
     net_hw = compute_resize_shape(*in_hw, cfg)
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
     model = estimator.model
     dtype = estimator.dtype
     face_model = detector._face_det
     mesh_model = detector._mesh
     pose_model = detector._pose if include_pose else None
-    anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+    anchors = build_anchors(BLAZEFACE_FRONT)  # host numpy (lowering-const rule)
     thresh = detector.minDetectionCon
     h, w = in_hw
-    l_iris_idx = jnp.asarray(LEFT_IRIS)
-    r_iris_idx = jnp.asarray(RIGHT_IRIS)
+    l_iris_idx = np.asarray(LEFT_IRIS)
+    r_iris_idx = np.asarray(RIGHT_IRIS)
 
     from depth_estimation_tpu.ops.postprocess import to_video_frame_u8_jax
 
@@ -447,7 +448,7 @@ def make_fused_detection_frame_fn(detector, in_hw: Tuple[int, int]):
     """
     impl = detector._impl
     face_model, mesh_model, pose_model = impl._face_det, impl._mesh, impl._pose
-    anchors = jnp.asarray(build_anchors(BLAZEFACE_FRONT))
+    anchors = build_anchors(BLAZEFACE_FRONT)  # host numpy (lowering-const rule)
     thresh = detector.minDetectionCon
     h, w = in_hw
     faithful = detector.faithful

@@ -28,13 +28,20 @@ from typing import Callable, Sequence
 def slope_time_ms(
     make_loop: Callable[[int], Callable],
     args: Sequence,
-    n1: int = 8,
-    n2: int = 24,
-    repeats: int = 2,
+    n1: int = 16,
+    n2: int = 48,
+    repeats: int = 3,
 ) -> float:
     """ms per loop step. ``make_loop(n)`` returns a jitted callable invoked
     as ``loop(*args, salt)`` whose result is a scalar (fetched to block).
     Each count is compiled+warmed once (uncounted), then min-of-``repeats``.
+
+    Counts must be large enough that the (n2-n1)-iteration time delta
+    dominates tunnel RTT noise (~±0.1 s observed): a 16-iteration delta of
+    a ~12 ms/frame program is ~0.2 s — same order as the noise, and one
+    congested-tunnel session measured DPT-Large 34% fast that way. The
+    defaults give a ≥3× noise margin for ≥6 ms/iteration programs; pass
+    bigger counts for cheaper ones.
     """
     import jax.numpy as jnp
 
@@ -102,7 +109,7 @@ def perturb_u8(img_u8, i, salt):
     return img_u8 + off
 
 
-def onchip_frame_ms(est, img_u8, n1: int = 8, n2: int = 24, repeats: int = 2) -> float:
+def onchip_frame_ms(est, img_u8, n1: int = 24, n2: int = 72, repeats: int = 3) -> float:
     """On-chip ms/frame of the estimator's OWN shipped frame program
     (est.frame_fn — jitted, so it inlines into the timing loop; there is no
     re-implementation that could drift from what users run)."""
@@ -119,7 +126,7 @@ def onchip_frame_ms(est, img_u8, n1: int = 8, n2: int = 24, repeats: int = 2) ->
 
 
 def onchip_batch_ms_per_image(
-    est, imgs_u8, n1: int = 4, n2: int = 12, repeats: int = 2
+    est, imgs_u8, n1: int = 8, n2: int = 24, repeats: int = 3
 ) -> float:
     """On-chip ms/image of the estimator's shipped BATCHED program
     (est._batched_fn — the same executable predict_batch runs)."""

@@ -113,8 +113,12 @@ def main():
 
     import sys as _sys
     _sys.path.insert(0, ".")
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
     apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
+    enable_compilation_cache()
 
     import jax
 

@@ -157,8 +157,12 @@ def main():
                     help="only the config-5 detection-only program row")
     args = ap.parse_args()
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
     apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
+    enable_compilation_cache()
     if args.fused or args.detection:
         hw = tuple(args.hw) if tuple(args.hw) != (384, 384) else (480, 640)
         if args.fused:

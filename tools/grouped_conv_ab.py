@@ -125,9 +125,14 @@ def main():
                          "to (compiles are minutes each through the tunnel)")
     args = ap.parse_args()
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
 
     apply_platform_env()
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

@@ -177,10 +177,14 @@ def main():
                     help="use/keep this directory instead of a tempdir")
     args = ap.parse_args()
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
 
     os.environ.setdefault("DEPTH_TPU_PLATFORM", "cpu")
     apply_platform_env()
+    enable_compilation_cache()
 
     if args.keep:
         report = rehearse(args.keep, seed=args.seed)

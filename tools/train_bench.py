@@ -42,8 +42,12 @@ def main():
                     "storing them")
     args = ap.parse_args()
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
     apply_platform_env()  # honor DEPTH_TPU_PLATFORM=cpu before backend init
+    enable_compilation_cache()
     h, w = args.hw
     if h % 32 or w % 32:
         ap.error(f"--hw must be multiples of 32 (got {h}x{w})")
@@ -108,7 +112,7 @@ def main():
 
     from depth_estimation_tpu.utils.benchmark import slope_time_ms
 
-    ms = slope_time_ms(make_loop, (state0, imgs, gt), n1=3, n2=9)
+    ms = slope_time_ms(make_loop, (state0, imgs, gt), n1=6, n2=18)
     print(f"train step: {ms:.1f} ms/step on-chip "
           f"({1000.0 / ms:.1f} steps/s, {args.batch * 1000.0 / ms:.1f} imgs/s)"
           f"{' [remat]' if args.remat else ''}")

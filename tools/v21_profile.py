@@ -39,9 +39,14 @@ def main():
     ap.add_argument("--hbm-gbs", type=float, default=819.0)
     args = ap.parse_args()
 
-    from depth_estimation_tpu.utils.platform import apply_platform_env
+    from depth_estimation_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
 
     apply_platform_env()
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
