@@ -404,7 +404,11 @@ class Budget:
         return self.total - (time.monotonic() - self.t_start)
 
     def allows(self, kind: str, est_s: float, label: str = "") -> bool:
-        est = max(self.observed.get(kind, 0.0), est_s)
+        # before the first observation of this kind, trust the static guess;
+        # afterwards trust the observed max (a warm exec cache makes phases
+        # ~6x cheaper than the cold-calibrated est_s, and max(observed,
+        # est_s) would keep booking the cold price and skip affordable work)
+        est = self.observed.get(kind, est_s)
         if self.remaining() >= est * self.SAFETY + self.RESERVE_S:
             return True
         self.skipped.append(label or kind)

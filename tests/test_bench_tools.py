@@ -44,6 +44,15 @@ def test_budget_estimate_adapts_to_observed_max():
     assert not b.allows("family", 50.0, "family:Z")
 
 
+def test_budget_estimate_adapts_downward_once_observed():
+    # a warm exec cache makes phases ~6x cheaper than the cold-calibrated
+    # static estimate; after one observation the observed cost must replace
+    # the static guess or affordable phases get skipped late in the run
+    b = _budget(100.0)
+    b.record("family", 20.0)
+    assert b.allows("family", 120.0, "family:warm")  # 20*1.25+15 < 100
+
+
 def test_budget_kinds_are_independent():
     # the expensive headline must not starve the cheap family sweep
     b = _budget(200.0)

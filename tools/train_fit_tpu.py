@@ -148,7 +148,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--hw", type=int, default=256, help="dataset resolution")
     ap.add_argument("--net", type=int, default=256, help="network grid")
-    ap.add_argument("--lr", type=float, default=3e-4)
+    # 1e-4 measured safe across families; >=1e-3 dead-ReLU-collapses the
+    # randomly-initialized MiDaS output head (loss freezes at the constant-
+    # zero-prediction value with exactly-zero grads) — see BASELINE.md r5
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--quick", action="store_true",
@@ -165,7 +168,6 @@ def main() -> None:
     if args.quick:
         args.model, args.steps = "MiDaS_small", min(args.steps, 60)
         args.hw = args.net = 128
-        args.lr = max(args.lr, 1e-3)
 
     if args.phase == "b":
         history = run_fit(args, steps=args.steps)
