@@ -11,9 +11,13 @@ preserved (SURVEY.md §2a C4).
 
 import argparse
 
-from depth_estimation_tpu.utils.platform import apply_platform_env
+from depth_estimation_tpu.utils.platform import (
+    apply_platform_env,
+    enable_compilation_cache,
+)
 
 apply_platform_env()
+enable_compilation_cache()
 from statistics import median
 
 import numpy as np

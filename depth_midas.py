@@ -12,9 +12,13 @@ Usage:
 
 import argparse
 
-from depth_estimation_tpu.utils.platform import apply_platform_env
+from depth_estimation_tpu.utils.platform import (
+    apply_platform_env,
+    enable_compilation_cache,
+)
 
 apply_platform_env()
+enable_compilation_cache()
 
 from depth_estimation_tpu.estimator import DepthEstimator  # noqa: F401  (public surface)
 from depth_estimation_tpu.runtime.stream import VidStream  # noqa: F401

@@ -13,9 +13,13 @@ Usage:
 
 import argparse
 
-from depth_estimation_tpu.utils.platform import apply_platform_env
+from depth_estimation_tpu.utils.platform import (
+    apply_platform_env,
+    enable_compilation_cache,
+)
 
 apply_platform_env()
+enable_compilation_cache()
 
 import numpy as np
 
