@@ -16,6 +16,9 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    from depth_estimation_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     assert jax.default_backend() == "tpu", f"need TPU, got {jax.default_backend()}"
     rng = np.random.default_rng(0)
     ok = True
